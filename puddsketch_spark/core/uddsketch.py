@@ -1,0 +1,254 @@
+"""UDDSketch kernel: pure-numpy, vectorized, mergeable quantile sketch.
+
+Semantics re-derived from the public UDDSketch algorithm (Epicoco et al.,
+"Fast Online Computation of Quantiles", IEEE Access 2020) as implemented by
+the reference at /root/reference/psketches/uddsketch/uddsketch.cpp:
+  - bucket key   k(v) = ceil(ln(v) / ln(gamma)), gamma = (1+a)/(1-a)
+                 (uddsketch.cpp:148-151, add() at :176-187)
+  - zero bucket  v < min_addressable (= DBL_MIN, since
+                 exp(LONG_MIN*log_gamma) underflows to 0)  (uddsketch.cpp:81-83)
+  - collapse     key -> ceil(key / 2^n); gamma -> gamma^(2^n);
+                 alpha' = (gamma'-1)/(gamma'+1)            (uddsketch.cpp:210-224)
+  - merge        requires equal initial_alpha; collapse the finer operand
+                 until resolutions match; sum buckets; re-collapse to m
+                 (uddsketch.cpp:306-329)
+  - quantile     rank = floor(q*(n-1)); rank < zero_count -> 0.0; else scan
+                 keys ascending until cumulative > rank; value =
+                 gamma^key * (1-alpha)                     (uddsketch.cpp:226-246)
+  - serde        little-endian init_alpha|alpha|m|zero|size|[key,count]*
+                 (uddsketch.cpp:260-304)
+
+This is NOT a port: state is a struct-of-sorted-arrays (Arrow-friendly),
+updates are O(batch) numpy ops (np.log + np.unique) rather than per-item
+hash-map inserts, and resolution is tracked as an exact integer collapse
+count so merge alignment is integer math (no float log-ratio rounding).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+__all__ = ["UDDSketch", "MIN_ADDRESSABLE"]
+
+# exp(LONG_MIN * log_gamma) underflows to 0.0 for every practical alpha, so
+# the reference's min-addressable value is always DBL_MIN (float64 tiny).
+MIN_ADDRESSABLE = float(np.finfo(np.float64).tiny)
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+_HEADER = struct.Struct("<ddiqQ")  # init_alpha, alpha, m, zero_bucket, store_size
+_PAIR = struct.Struct("<qq")
+
+
+def _ceil_div(keys: np.ndarray, twopow: int) -> np.ndarray:
+    """Exact integer ceil(key / twopow) for int64 keys (pos and neg)."""
+    return -((-keys) // twopow)
+
+
+@dataclass
+class UDDSketch:
+    """Mergeable log-bucketed quantile sketch with uniform collapse.
+
+    ``keys`` is always sorted ascending and ``counts[i] > 0``; this canonical
+    form makes bucket-for-bucket equality a plain array compare (used by the
+    merge-commutativity property tests).
+    """
+
+    initial_alpha: float = 0.01
+    m: int = 200  # max buckets; 0 = unbounded
+    num_collapses: int = 0
+    zero_count: int = 0
+    keys: np.ndarray = field(default_factory=lambda: _EMPTY_I64.copy())
+    counts: np.ndarray = field(default_factory=lambda: _EMPTY_I64.copy())
+
+    # -- derived resolution ------------------------------------------------
+    @property
+    def gamma0(self) -> float:
+        return (1.0 + self.initial_alpha) / (1.0 - self.initial_alpha)
+
+    @property
+    def log_gamma(self) -> float:
+        # exact: collapse multiplies log_gamma by 2 (uddsketch.cpp:220)
+        return float(2**self.num_collapses) * np.log(self.gamma0)
+
+    @property
+    def gamma(self) -> float:
+        return float(np.exp(self.log_gamma))
+
+    @property
+    def alpha(self) -> float:
+        """Current (post-collapse) relative-error bound (uddsketch.cpp:223)."""
+        g = self.gamma
+        return (g - 1.0) / (g + 1.0)
+
+    @property
+    def count(self) -> int:
+        """Total population incl. zero bucket (get_sketch_count, :140-146)."""
+        return int(self.counts.sum()) + self.zero_count
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.keys.size)
+
+    # -- update ------------------------------------------------------------
+    def update(self, values: np.ndarray) -> "UDDSketch":
+        """Absorb a batch of float64 values (vectorized add(), :176-187).
+
+        Values below MIN_ADDRESSABLE (incl. 0, denormals, negatives — the
+        reference drivers filter negatives upstream, pudds.cpp:137-140) land
+        in the zero bucket. NaNs are dropped.
+        """
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        small = v < MIN_ADDRESSABLE
+        self.zero_count += int(small.sum())
+        v = v[~small]
+        if v.size:
+            inv_log_gamma = 1.0 / self.log_gamma
+            bkeys = np.ceil(np.log(v) * inv_log_gamma).astype(np.int64)
+            ukeys, ucounts = np.unique(bkeys, return_counts=True)
+            self._absorb(ukeys, ucounts.astype(np.int64))
+            self._enforce_bound()
+        return self
+
+    def _absorb(self, ukeys: np.ndarray, ucounts: np.ndarray) -> None:
+        """Merge a sorted (key,count) run into the sorted store."""
+        if self.keys.size == 0:
+            self.keys, self.counts = ukeys, ucounts
+            return
+        allk = np.concatenate([self.keys, ukeys])
+        allc = np.concatenate([self.counts, ucounts])
+        keys, inv = np.unique(allk, return_inverse=True)
+        counts = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(counts, inv, allc)
+        self.keys, self.counts = keys, counts
+
+    def _enforce_bound(self) -> None:
+        while self.m > 0 and self.keys.size > self.m:
+            self.collapse(1)
+
+    # -- collapse ----------------------------------------------------------
+    def collapse(self, n: int = 1) -> "UDDSketch":
+        """Uniform collapse: key -> ceil(key/2^n) (uddsketch.cpp:210-224)."""
+        if n <= 0:
+            return self
+        twopow = 2**n
+        newk = _ceil_div(self.keys, twopow)
+        # newk is monotone non-decreasing: segment-sum via reduceat
+        if newk.size:
+            starts = np.flatnonzero(np.diff(newk, prepend=newk[0] - 1))
+            self.keys = newk[starts]
+            self.counts = np.add.reduceat(self.counts, starts)
+        self.num_collapses += n
+        return self
+
+    # -- merge -------------------------------------------------------------
+    def merge(self, other: "UDDSketch") -> "UDDSketch":
+        """In-place mergeable-summary union (uddsketch.cpp:306-329).
+
+        Commutative & associative: both operands collapse to the coarser
+        resolution (an integer), then bucket addition commutes, then the
+        m-bound collapse depends only on the summed store.
+        """
+        if self.initial_alpha != other.initial_alpha:
+            raise ValueError(
+                "Merging sketches have incompatible alpha values: "
+                f"{self.initial_alpha} != {other.initial_alpha}"
+            )
+        a, b = self, other
+        if a.num_collapses < b.num_collapses:
+            a = a.copy().collapse(b.num_collapses - a.num_collapses)
+        elif b.num_collapses < a.num_collapses:
+            b = b.copy().collapse(a.num_collapses - b.num_collapses)
+        self.num_collapses = a.num_collapses
+        self.zero_count = a.zero_count + b.zero_count
+        self.keys, self.counts = a.keys, a.counts
+        self._absorb(b.keys, b.counts)
+        self._enforce_bound()
+        return self
+
+    def copy(self) -> "UDDSketch":
+        return replace(self, keys=self.keys.copy(), counts=self.counts.copy())
+
+    # -- query -------------------------------------------------------------
+    def quantile(self, q: float) -> float:
+        """Quantile estimate (uddsketch.cpp:226-246)."""
+        n = self.count
+        if n == 0:
+            return float("nan")
+        rank = int(np.floor(q * (n - 1)))
+        if rank < self.zero_count:
+            return 0.0
+        if self.keys.size == 0:
+            return 0.0
+        cum = self.zero_count + np.cumsum(self.counts)
+        idx = int(np.searchsorted(cum, rank, side="right"))
+        idx = min(idx, self.keys.size - 1)
+        return self.bucket_value(int(self.keys[idx]))
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(q) for q in qs], dtype=np.float64)
+
+    def bucket_value(self, bkey: int) -> float:
+        """gamma^key * (1-alpha) == 2*gamma^key/(gamma+1) (uddsketch.cpp:153-157)."""
+        return float(np.exp(bkey * self.log_gamma) * (1.0 - self.alpha))
+
+    # -- serde (reference-compatible byte layout, uddsketch.cpp:260-304) ----
+    def to_bytes(self) -> bytes:
+        head = _HEADER.pack(
+            self.initial_alpha, self.alpha, self.m, self.zero_count, self.keys.size
+        )
+        pairs = np.empty((self.keys.size, 2), dtype="<i8")
+        pairs[:, 0] = self.keys
+        pairs[:, 1] = self.counts
+        return head + pairs.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "UDDSketch":
+        init_alpha, alpha, m, zero, size = _HEADER.unpack_from(data, 0)
+        expect = _HEADER.size + size * _PAIR.size
+        if len(data) != expect:
+            raise ValueError(f"Serialized size error: {len(data)} != {expect}")
+        pairs = np.frombuffer(data, dtype="<i8", offset=_HEADER.size).reshape(-1, 2)
+        keys = pairs[:, 0].astype(np.int64)
+        counts = pairs[:, 1].astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, counts = keys[order], counts[order]
+        # recover integer collapse count from the alpha ratio:
+        # alpha' = (g-1)/(g+1) with g = gamma0^(2^c)
+        gamma0 = (1.0 + init_alpha) / (1.0 - init_alpha)
+        if alpha <= init_alpha:
+            c = 0
+        else:
+            g = (1.0 + alpha) / (1.0 - alpha)
+            c = int(round(np.log2(np.log(g) / np.log(gamma0))))
+        return cls(
+            initial_alpha=init_alpha,
+            m=int(m),
+            num_collapses=c,
+            zero_count=int(zero),
+            keys=keys,
+            counts=counts,
+        )
+
+    # -- equality (bucket-for-bucket, for property tests) -------------------
+    def same_buckets(self, other: "UDDSketch") -> bool:
+        return (
+            self.initial_alpha == other.initial_alpha
+            and self.num_collapses == other.num_collapses
+            and self.zero_count == other.zero_count
+            and np.array_equal(self.keys, other.keys)
+            and np.array_equal(self.counts, other.counts)
+        )
+
+
+def bucket_keys(values: np.ndarray, initial_alpha: float, num_collapses: int = 0) -> np.ndarray:
+    """Standalone vectorized key function (for SQL-oracle parity tests)."""
+    gamma0 = (1.0 + initial_alpha) / (1.0 - initial_alpha)
+    log_gamma = float(2**num_collapses) * np.log(gamma0)
+    return np.ceil(np.log(np.asarray(values, dtype=np.float64)) / log_gamma).astype(np.int64)
