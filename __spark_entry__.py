@@ -1,38 +1,280 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator over the driver's testdata
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL. The UDDSketch
+quantile queries are verified *bit-for-bit*: the oracle SQL re-derives the
+sketch (log-gamma bucket keys + window cumsum rank scan) with the identical
+libm operations, so even the approximate estimates hash-match exactly.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+# UDDSketch params for the oracle-checked queries: alpha=0.005, unbounded
+# buckets (no collapse -> deterministic single-resolution SQL mirror).
+_A = 5e-3
+_G = (1.0 + _A) / (1.0 - _A)
+_G_SQL = "((1.0e0+5e-3)/(1.0e0-5e-3))"
+_QS = (0.5, 0.9, 0.99, 0.999)
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: grouped UDDSketch quantiles of lineitem price
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """p50/p90/p99/p999 of l_extendedprice by l_returnflag via distributed
+    UDDSketch (mapInPandas partials -> applyInPandas merge)."""
+    return _udds_by_flag(spark, SF001)
+
+
+def _udds_factory():
+    from puddsketch_spark.core import UDDSketch
+
+    return UDDSketch(initial_alpha=_A, m=0)
+
+
+def _udds_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import sketch_global
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = sketch_global(li, "l_extendedprice", _udds_factory, UDDSketch.from_bytes)
+    rows = [(float(q), float(sk.quantile(q)), int(sk.count)) for q in _QS]
+    return spark.createDataFrame(rows, "q double, est double, n long")
+
+
+def _udds_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import quantile_table, sketch_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    merged = sketch_grouped(li, "l_extendedprice", ["l_returnflag"], _udds_factory,
+                            UDDSketch.from_bytes)
+    qt = quantile_table(merged, ["l_returnflag"], _QS, UDDSketch.from_bytes)
+    return qt.join(merged.select("l_returnflag", F.col("n")), "l_returnflag").select(
+        "l_returnflag", "q", "est", "n"
+    )
+
+
+def _udds_oracle(group_col: str | None) -> str:
+    gexpr = f"{group_col}, " if group_col else ""
+    gpart = f"PARTITION BY {group_col} " if group_col else ""
+    gjoin = f"AND cum.{group_col} = nn.{group_col}" if group_col else ""
+    gsel = f"kq.{group_col}, " if group_col else ""
+    return f"""
+WITH keyed AS (
+  SELECT {gexpr}CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+),
+b AS (SELECT {gexpr}k, COUNT(*) AS c FROM keyed GROUP BY {gexpr}k),
+cum AS (SELECT {gexpr}k, SUM(c) OVER ({gpart}ORDER BY k) AS cumc FROM b),
+nn AS (SELECT {gexpr}COUNT(*) AS n FROM keyed {('GROUP BY ' + group_col) if group_col else ''}),
+qs AS (SELECT * FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q)),
+kq AS (
+  SELECT {('nn.' + group_col + ',') if group_col else ''} qs.q, nn.n,
+         (SELECT MIN(k) FROM cum WHERE cum.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT) {gjoin}) AS kq
+  FROM nn CROSS JOIN qs
+)
+SELECT {gsel}kq.q AS q,
+       power({_G_SQL}, kq.kq) * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       kq.n AS n
+FROM kq
+"""
+
+
+# --------------------------------------------------------------------------
+# relational operators
+# --------------------------------------------------------------------------
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       round(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with broadcast dims; deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def _events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+_EVENTS_SQL = """
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 4) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def _events_gap_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event latency per user (window lag), exact p50/p90 per type."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_ltz", F.col("ts").cast("timestamp_ltz")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ev.withColumn(
+        "gap_us", F.unix_micros(F.col("ts_ltz")) - F.unix_micros(F.lag("ts_ltz").over(w))
+    ).where(F.col("gap_us").isNotNull())
+    return gap.groupBy("event_type").agg(
+        F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_us"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+_GAP_SQL = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+  FROM events
+)
+SELECT event_type, round(quantile_cont(gap_us, 0.5e0), 4) AS p50_us,
+       round(quantile_cont(gap_us, 0.9e0), 4) AS p90_us,
+       COUNT(gap_us) AS n_gaps
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops (documents)
+# --------------------------------------------------------------------------
+def _dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: survivors = min doc_id per md5(text)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", F.md5("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dupes"),
+        )
+    )
+
+
+_DEDUP_SQL = """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+FROM documents GROUP BY source
+"""
+
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + type/token stats per language."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_types"),
+        F.length("text").alias("n_chars_calc"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_types").alias("total_types"),
+        F.sum("n_chars_calc").alias("total_chars"),
+    )
+
+
+_TOKEN_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       SUM(len(list_distinct(string_split(text, ' ')))) AS total_types,
+       SUM(length(text)) AS total_chars
+FROM documents GROUP BY lang
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "udds_quantile_global": _udds_global,
+        "udds_quantile_by_flag": _udds_by_flag,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_revenue_orders": _q3_top_revenue_orders,
+        "events_type_stats": _events_type_stats,
+        "events_gap_quantile": _events_gap_quantile,
+        "dedup_exact_documents": _dedup_exact_documents,
+        "doc_token_stats": _doc_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "udds_quantile_global": _udds_oracle(None),
+        "udds_quantile_by_flag": _udds_oracle("l_returnflag"),
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_revenue_orders": _Q3_SQL,
+        "events_type_stats": _EVENTS_SQL,
+        "events_gap_quantile": _GAP_SQL,
+        "dedup_exact_documents": _DEDUP_SQL,
+        "doc_token_stats": _TOKEN_SQL,
+    }

@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total query wall time", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <dir>, plus sketch throughput +
+   scaling info when SPARK_GRAFT_SCALING=1}
+
+Throughput protocol mirrors the reference (updates/s over fill+merge,
+/root/reference/ParallelDDSketch/src/ParallelSketcher.cc:870-879): the
+`udds_transcripts` entry sketches a generated transcript table and reports
+turns/sec in the side metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.datagen import transcripts
+    from puddsketch_spark.spark.agg import sketch_grouped, quantile_table
+    from puddsketch_spark.spark.features import with_text_len
+    from puddsketch_spark.spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name=f"bench[{cpus}]", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    qs = entry.queries()
+    for name in [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "udds_quantile_global",
+        "udds_quantile_by_flag",
+        "events_gap_quantile",
+        "dedup_exact_documents",
+        "doc_token_stats",
+    ]:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if hasattr(df, "count") else len(df)
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # sketch throughput on the north_rule transcript shape: generate (timed
+    # separately), then fill+merge, report turns/sec over the sketch phase
+    n_conv = max(1, n_turn_target // 8)
+    t0 = time.time()
+    t = with_text_len(transcripts(spark, n_conv=n_conv, avg_turns=8, seed=42))
+    t = t.select("role", "text_len").persist()
+    n_turns = t.count()
+    gen_s = time.time() - t0
+    t0 = time.time()
+    merged = sketch_grouped(
+        t, "text_len", ["role"],
+        lambda: UDDSketch(initial_alpha=0.01, m=200), UDDSketch.from_bytes,
+    )
+    res = quantile_table(merged, ["role"], [0.5, 0.9, 0.99, 0.999], UDDSketch.from_bytes)
+    res.collect()
+    sketch_s = time.time() - t0
+    t.unpersist()
+    timings["udds_transcripts_grouped"] = round(sketch_s, 3)
+    extras["transcript_turns"] = n_turns
+    extras["transcript_gen_sec"] = round(gen_s, 3)
+    extras["sketch_throughput_turns_per_sec"] = round(n_turns / sketch_s, 1)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline query wall time (sum)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        **extras,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

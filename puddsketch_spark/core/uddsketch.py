@@ -39,8 +39,11 @@ MIN_ADDRESSABLE = float(np.finfo(np.float64).tiny)
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
 
-_HEADER = struct.Struct("<ddiqQ")  # init_alpha, alpha, m, zero_bucket, store_size
-_PAIR = struct.Struct("<qq")
+# init_alpha, alpha, m, zero_bucket, store_size (plain format strings: the
+# kernel gets cloudpickled into Spark UDF closures, struct.Struct can't be)
+_HEADER_FMT = "<ddiqQ"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+_PAIR_SIZE = struct.calcsize("<qq")
 
 
 def _ceil_div(keys: np.ndarray, twopow: int) -> np.ndarray:
@@ -76,7 +79,9 @@ class UDDSketch:
 
     @property
     def gamma(self) -> float:
-        return float(np.exp(self.log_gamma))
+        # pow chain (== gamma0 exactly when uncollapsed) so results are
+        # bit-identical to a SQL oracle computing power((1+a)/(1-a), 2^c)
+        return float(self.gamma0 ** float(2**self.num_collapses))
 
     @property
     def alpha(self) -> float:
@@ -109,8 +114,9 @@ class UDDSketch:
         self.zero_count += int(small.sum())
         v = v[~small]
         if v.size:
-            inv_log_gamma = 1.0 / self.log_gamma
-            bkeys = np.ceil(np.log(v) * inv_log_gamma).astype(np.int64)
+            # division (not reciprocal-multiply): bit-identical to ln(v)/ln(g)
+            # in a SQL oracle; same libm, same rounding
+            bkeys = np.ceil(np.log(v) / self.log_gamma).astype(np.int64)
             ukeys, ucounts = np.unique(bkeys, return_counts=True)
             self._absorb(ukeys, ucounts.astype(np.int64))
             self._enforce_bound()
@@ -196,12 +202,12 @@ class UDDSketch:
 
     def bucket_value(self, bkey: int) -> float:
         """gamma^key * (1-alpha) == 2*gamma^key/(gamma+1) (uddsketch.cpp:153-157)."""
-        return float(np.exp(bkey * self.log_gamma) * (1.0 - self.alpha))
+        return float(self.gamma ** float(bkey) * (1.0 - self.alpha))
 
     # -- serde (reference-compatible byte layout, uddsketch.cpp:260-304) ----
     def to_bytes(self) -> bytes:
-        head = _HEADER.pack(
-            self.initial_alpha, self.alpha, self.m, self.zero_count, self.keys.size
+        head = struct.pack(
+            _HEADER_FMT, self.initial_alpha, self.alpha, self.m, self.zero_count, self.keys.size
         )
         pairs = np.empty((self.keys.size, 2), dtype="<i8")
         pairs[:, 0] = self.keys
@@ -210,11 +216,12 @@ class UDDSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "UDDSketch":
-        init_alpha, alpha, m, zero, size = _HEADER.unpack_from(data, 0)
-        expect = _HEADER.size + size * _PAIR.size
+        data = bytes(data)
+        init_alpha, alpha, m, zero, size = struct.unpack_from(_HEADER_FMT, data, 0)
+        expect = _HEADER_SIZE + size * _PAIR_SIZE
         if len(data) != expect:
             raise ValueError(f"Serialized size error: {len(data)} != {expect}")
-        pairs = np.frombuffer(data, dtype="<i8", offset=_HEADER.size).reshape(-1, 2)
+        pairs = np.frombuffer(data, dtype="<i8", offset=_HEADER_SIZE).reshape(-1, 2)
         keys = pairs[:, 0].astype(np.int64)
         counts = pairs[:, 1].astype(np.int64)
         order = np.argsort(keys, kind="stable")
@@ -250,5 +257,5 @@ class UDDSketch:
 def bucket_keys(values: np.ndarray, initial_alpha: float, num_collapses: int = 0) -> np.ndarray:
     """Standalone vectorized key function (for SQL-oracle parity tests)."""
     gamma0 = (1.0 + initial_alpha) / (1.0 - initial_alpha)
-    log_gamma = float(2**num_collapses) * np.log(gamma0)
+    log_gamma = float(2**num_collapses) * float(np.log(gamma0))
     return np.ceil(np.log(np.asarray(values, dtype=np.float64)) / log_gamma).astype(np.int64)

@@ -1,0 +1,67 @@
+"""Driver-style parity check: run every queries() entry on Spark and its
+oracle_sql() on DuckDB over sf0.01, compare row count + column names +
+order-insensitive values (the CORRECTNESS gate, locally)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries().keys()))
+def test_parity(spark, ddb, name):
+    q = entry.queries()[name]
+    sdf = q(spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    sql = entry.oracle_sql().get(name)
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check
+        return
+    res = ddb.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    assert _rowset(scols, srows) == _rowset(dcols, drows), f"{name}: values differ"
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["l_returnflag", "q", "est", "n"]

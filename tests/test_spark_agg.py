@@ -1,0 +1,164 @@
+"""Distributed-path tests: partial/merge pipeline, grouped + global sketches,
+skew salting, checkpoint/resume, datagen determinism. (SURVEY.md §5 plan.)"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from puddsketch_spark.core import UDDSketch
+from puddsketch_spark.datagen import transcripts
+from puddsketch_spark.spark.agg import (
+    partial_sketches,
+    sketch_global,
+    sketch_grouped,
+    udds_quantiles,
+)
+from puddsketch_spark.spark.checkpoint import resume_partials, write_partials
+from puddsketch_spark.spark.features import with_inter_turn_latency, with_text_len
+from puddsketch_spark.spark.skew import salted_repartition
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return with_text_len(transcripts(spark, n_conv=1500, avg_turns=8, seed=42)).cache()
+
+
+def _factory():
+    return UDDSketch(initial_alpha=0.01, m=200)
+
+
+def test_datagen_deterministic(spark):
+    a = transcripts(spark, n_conv=50, seed=7).orderBy("conv_id", "turn_idx").collect()
+    b = transcripts(spark, n_conv=50, seed=7).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    cols = transcripts(spark, n_conv=1, seed=7).columns
+    assert cols == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_partials_carry_lineage_metrics(tdf):
+    p = partial_sketches(tdf, "text_len", ["role"], _factory)
+    rows = p.collect()
+    assert {r.partition_id for r in rows} == set(range(tdf.rdd.getNumPartitions()))
+    assert all(r.n > 0 and r.buckets > 0 for r in rows)
+    total = sum(r.n for r in rows)
+    assert total == tdf.count()
+
+
+def test_grouped_matches_exact_within_alpha(spark, tdf):
+    qs = [0.5, 0.9, 0.99]
+    est = {
+        (r.role, r.q): r.est
+        for r in udds_quantiles(tdf, "text_len", ["role"], qs, alpha=0.01, m=1024).collect()
+    }
+    exact = {
+        (r.role, q): r[f"p{i}"]
+        for r in tdf.groupBy("role")
+        .agg(*[F.expr(f"percentile(text_len, {q})").alias(f"p{i}") for i, q in enumerate(qs)])
+        .collect()
+        for i, q in enumerate(qs)
+    }
+    for (role, q), e in est.items():
+        x = exact[(role, q)]
+        assert abs(e - x) / x <= 0.011, (role, q, e, x)
+
+
+def test_global_treereduce_matches_kernel(spark, tdf):
+    sk = sketch_global(tdf, "text_len", _factory)
+    vals = np.array([r[0] for r in tdf.select("text_len").collect()])
+    local = _factory().update(vals)
+    assert sk.count == local.count
+    # same resolution & buckets regardless of partitioning
+    if sk.num_collapses != local.num_collapses:
+        c = max(sk.num_collapses, local.num_collapses)
+        sk.collapse(c - sk.num_collapses)
+        local.collapse(c - local.num_collapses)
+    assert sk.same_buckets(local)
+
+
+def test_partition_count_invariance(spark, tdf):
+    """1 vs 8 vs 32 partitions -> same final buckets (merge-order invariance)."""
+    results = []
+    for n in [1, 8, 32]:
+        sk = sketch_global(tdf.repartition(n), "text_len", _factory)
+        results.append(sk)
+    base = results[0]
+    for other in results[1:]:
+        a, b = base.copy(), other.copy()
+        c = max(a.num_collapses, b.num_collapses)
+        a.collapse(c - a.num_collapses)
+        b.collapse(c - b.num_collapses)
+        assert a.same_buckets(b)
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    hot = transcripts(spark, n_conv=200, avg_turns=8, seed=1, skew="zipf")
+    salted = salted_repartition(hot, ["conv_id"], ["turn_idx"], 16, salt_buckets=8)
+    # the hottest conv must occupy >1 partition after salting
+    hottest = hot.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    if hottest["count"] >= 16:
+        spread = (
+            salted.where(F.col("conv_id") == hottest.conv_id)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert spread > 1
+    # and the sketch result is unchanged by salting
+    a = sketch_global(with_text_len(hot), "text_len", _factory)
+    b = sketch_global(with_text_len(salted), "text_len", _factory)
+    assert a.count == b.count
+    aa, bb = a.copy(), b.copy()
+    c = max(aa.num_collapses, bb.num_collapses)
+    aa.collapse(c - aa.num_collapses)
+    bb.collapse(c - bb.num_collapses)
+    assert aa.same_buckets(bb)
+
+
+def test_latency_feature(spark):
+    t = transcripts(spark, n_conv=300, avg_turns=8, seed=3)
+    lat = with_inter_turn_latency(t)
+    rows = lat.where("turn_idx = 0").select("latency_s").distinct().collect()
+    assert [r[0] for r in rows] == [None]
+    vals = np.array(
+        [r[0] for r in lat.where("latency_s is not null").select("latency_s").collect()]
+    )
+    assert (vals > 0).all()
+    # exponential(1): median ~ ln 2
+    assert abs(np.median(vals) - np.log(2)) < 0.1
+
+
+def test_checkpoint_resume_equals_uninterrupted(spark, tdf, tmp_path):
+    path = str(tmp_path / "ckpt")
+    full = partial_sketches(tdf, "text_len", ["role"], _factory)
+    n_parts = tdf.rdd.getNumPartitions()
+    # simulate a crash: persist only partitions < half
+    partial_half = full.where(F.col("partition_id") < n_parts // 2)
+    write_partials(partial_half, path, n_parts)
+    resumed = resume_partials(spark, tdf, "text_len", ["role"], path, _factory)
+    # resumed partials cover every partition exactly once
+    per_pid = resumed.groupBy("partition_id", "role").count().collect()
+    assert all(r["count"] == 1 for r in per_pid)
+    assert {r.partition_id for r in resumed.select("partition_id").distinct().collect()} == set(
+        range(n_parts)
+    )
+    # and the merged result equals the uninterrupted run
+    def merge_all(df):
+        sk = None
+        for r in df.select("state").collect():
+            s = UDDSketch.from_bytes(bytes(r[0]))
+            sk = s if sk is None else sk.merge(s)
+        return sk
+
+    a, b = merge_all(resumed), merge_all(full)
+    c = max(a.num_collapses, b.num_collapses)
+    a.collapse(c - a.num_collapses)
+    b.collapse(c - b.num_collapses)
+    assert a.same_buckets(b)
+
+
+def test_resume_noop_when_complete(spark, tdf, tmp_path):
+    path = str(tmp_path / "ckpt2")
+    first = resume_partials(spark, tdf, "text_len", [], path, _factory)
+    n1 = first.count()
+    second = resume_partials(spark, tdf, "text_len", [], path, _factory)
+    assert second.count() == n1
