@@ -205,6 +205,131 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# companion sketches: the oracle asserts the published error bound (TRUE
+# columns); Spark really computes the bound check, plus exact columns that
+# cross-check values. A sketch regression flips the boolean -> hash mismatch.
+# --------------------------------------------------------------------------
+def _hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from puddsketch_spark.spark.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"], p=14)
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users") <= 0.05).alias(
+                "hll_ok"
+            ),
+        )
+    )
+
+
+_HLL_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+FROM events GROUP BY event_type
+"""
+
+
+def _cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from puddsketch_spark.spark.sketches import cms_global
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_global(ev, "event_type", depth=5, width=2048)
+    exact = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    types = sorted(exact)
+    ests = cms.query(np.array(types, dtype=object))
+    rows = [
+        (
+            t,
+            int(exact[t]),
+            bool(e >= exact[t]),
+            bool(e <= exact[t] + cms.eps * cms.total),
+        )
+        for t, e in zip(types, ests)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_n long, cms_ge_exact boolean, cms_le_bound boolean"
+    )
+
+
+_CMS_SQL = """
+SELECT event_type, COUNT(*) AS exact_n, TRUE AS cms_ge_exact, TRUE AS cms_le_bound
+FROM events GROUP BY event_type
+"""
+
+
+def _bloom_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from puddsketch_spark.spark.sketches import bloom_global
+
+    orders = _t(spark, sf_dir, "orders")
+    bf = bloom_global(orders, "o_custkey", num_bits=1 << 20, num_hashes=7)
+    present = np.array(
+        [r[0] for r in orders.select("o_custkey").distinct().collect()], dtype=np.int64
+    )
+    cust = _t(spark, sf_dir, "customer")
+    absent = np.array(
+        [r[0] + 10_000_000 for r in cust.select("c_custkey").collect()], dtype=np.int64
+    )
+    fp = float(bf.contains(absent).mean()) if absent.size else 0.0
+    row = (
+        int(present.size),
+        bool(bf.contains(present).all()),
+        int(absent.size),
+        bool(fp <= 0.02),
+    )
+    return spark.createDataFrame(
+        [row], "n_present long, present_all_hit boolean, n_absent long, fpr_ok boolean"
+    )
+
+
+_BLOOM_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS n_present, TRUE AS present_all_hit,
+       (SELECT COUNT(*) FROM customer) AS n_absent, TRUE AS fpr_ok
+FROM orders
+"""
+
+
+def _rank_check(spark: SparkSession, sf_dir: str, kind: str, tol: float) -> DataFrame:
+    """Global quantile sketch over l_extendedprice; verify rank error of each
+    estimate exactly in a second Spark pass."""
+    from puddsketch_spark.spark.sketches import kll_quantiles, tdigest_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    fn = kll_quantiles if kind == "kll" else tdigest_quantiles
+    ests = {r.q: r.est for r in fn(li, "l_extendedprice", (), _QS).collect()}
+    checks = [
+        F.avg((F.col("l_extendedprice") <= F.lit(ests[q])).cast("double")).alias(f"r{i}")
+        for i, q in enumerate(_QS)
+    ]
+    ranks = li.agg(*checks).first()
+    rows = [
+        (float(q), bool(abs(ranks[f"r{i}"] - q) <= tol)) for i, q in enumerate(_QS)
+    ]
+    return spark.createDataFrame(rows, "q double, rank_ok boolean")
+
+
+def _kll_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rank_check(spark, sf_dir, "kll", tol=0.03)
+
+
+def _tdigest_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rank_check(spark, sf_dir, "tdigest", tol=0.02)
+
+
+_RANK_SQL = """
+SELECT q, TRUE AS rank_ok
+FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q)
+"""
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline ops (documents)
 # --------------------------------------------------------------------------
 def _dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_quantile": _events_gap_quantile,
         "dedup_exact_documents": _dedup_exact_documents,
         "doc_token_stats": _doc_token_stats,
+        "hll_users_by_type": _hll_users_by_type,
+        "cms_event_type_freq": _cms_event_type_freq,
+        "bloom_custkeys": _bloom_custkeys,
+        "kll_price_rank": _kll_price_rank,
+        "tdigest_price_rank": _tdigest_price_rank,
     }
 
 
@@ -277,4 +407,9 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_quantile": _GAP_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
+        "hll_users_by_type": _HLL_SQL,
+        "cms_event_type_freq": _CMS_SQL,
+        "bloom_custkeys": _BLOOM_SQL,
+        "kll_price_rank": _RANK_SQL,
+        "tdigest_price_rank": _RANK_SQL,
     }

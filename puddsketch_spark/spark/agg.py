@@ -100,10 +100,19 @@ def partial_sketches(
         pid = ctx.partitionId() if ctx is not None else -1
         sketches: dict[tuple, object] = {}
         for pdf in batches:
-            vals_all = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+            s = pdf[value_col]
+            if pd.api.types.is_numeric_dtype(s):
+                # numeric: NaN-coded nulls, kernels drop NaN themselves
+                vals_all = s.to_numpy(dtype="float64", na_value=np.nan)
+                valid = None
+            else:
+                # strings/objects (HLL/CMS/Bloom): drop nulls via mask so
+                # group-slice indexing stays aligned
+                vals_all = s.to_numpy()
+                valid = s.notna().to_numpy()
             if not group_cols:
                 sk = sketches.setdefault((), factory())
-                sk.update(vals_all)
+                sk.update(vals_all if valid is None else vals_all[valid])
                 continue
             codes, uniques = pd.factorize(
                 pd.MultiIndex.from_frame(pdf[group_cols])
@@ -114,14 +123,17 @@ def partial_sketches(
             order = np.argsort(codes, kind="stable")
             sorted_codes = codes[order]
             starts = np.flatnonzero(np.diff(sorted_codes, prepend=-1))
-            for i, s in enumerate(starts):
-                e = starts[i + 1] if i + 1 < len(starts) else len(sorted_codes)
-                key = uniques[sorted_codes[s]]
+            for i, g0 in enumerate(starts):
+                g1 = starts[i + 1] if i + 1 < len(starts) else len(sorted_codes)
+                key = uniques[sorted_codes[g0]]
                 key = tuple(key) if len(group_cols) > 1 else (key,)
                 sk = sketches.get(key)
                 if sk is None:
                     sk = sketches[key] = factory()
-                sk.update(vals_all[order[s:e]])
+                idx = order[g0:g1]
+                if valid is not None:
+                    idx = idx[valid[idx]]
+                sk.update(vals_all[idx])
         if not sketches:
             yield pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
             return

@@ -1,0 +1,122 @@
+"""High-level sketch aggregation APIs over the generic partial/merge plumbing.
+
+One function per sketch, all built on agg.partial_sketches / merge_grouped /
+sketch_global — identical distributed shape to the UDDSketch flagship:
+Arrow-vectorized per-partition partials, blob-only shuffles, commutative
+merges. (North_rule companion set: HLL, count-min, t-digest, KLL, Bloom.)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from ..core.bloom import BloomFilter
+from ..core.cms import CountMinSketch
+from ..core.hll import HLLSketch
+from ..core.kll import KLLSketch
+from ..core.tdigest import TDigest
+from .agg import quantile_table, sketch_global, sketch_grouped
+
+__all__ = [
+    "hll_distinct",
+    "cms_states",
+    "cms_global",
+    "bloom_global",
+    "bloom_states",
+    "tdigest_quantiles",
+    "kll_quantiles",
+]
+
+
+# ---------------------------------------------------------------- HLL
+def hll_distinct(
+    df: DataFrame, col: str, group_cols: Sequence[str] = (), p: int = 14
+) -> DataFrame | int:
+    """Approximate COUNT(DISTINCT col), grouped or global.
+
+    Grouped -> DataFrame[group..., est:long]; global -> int.
+    """
+    factory = lambda: HLLSketch(p=p)  # noqa: E731
+    if not group_cols:
+        return int(round(sketch_global(df, col, factory, HLLSketch.from_bytes).estimate()))
+    merged = sketch_grouped(df, col, group_cols, factory, HLLSketch.from_bytes)
+
+    @F.pandas_udf(LongType())
+    def est(states: pd.Series) -> pd.Series:
+        return states.map(lambda b: int(round(HLLSketch.from_bytes(b).estimate())))
+
+    return merged.select(*group_cols, est("state").alias("est"))
+
+
+# ---------------------------------------------------------------- CMS
+def cms_global(
+    df: DataFrame, col: str, depth: int = 5, width: int = 2048
+) -> CountMinSketch:
+    """Global frequency sketch of ``col`` (driver-side object)."""
+    factory = lambda: CountMinSketch(depth=depth, width=width)  # noqa: E731
+    return sketch_global(df, col, factory, CountMinSketch.from_bytes)
+
+
+def cms_states(
+    df: DataFrame, col: str, group_cols: Sequence[str], depth: int = 5, width: int = 2048
+) -> DataFrame:
+    factory = lambda: CountMinSketch(depth=depth, width=width)  # noqa: E731
+    return sketch_grouped(df, col, group_cols, factory, CountMinSketch.from_bytes)
+
+
+# ---------------------------------------------------------------- Bloom
+def bloom_global(
+    df: DataFrame, col: str, num_bits: int = 1 << 22, num_hashes: int = 7
+) -> BloomFilter:
+    """Global membership filter (driver-side object, e.g. for broadcast-join
+    style pre-filtering of a second table)."""
+    factory = lambda: BloomFilter(num_bits=num_bits, num_hashes=num_hashes)  # noqa: E731
+    return sketch_global(df, col, factory, BloomFilter.from_bytes)
+
+
+def bloom_states(
+    df: DataFrame, col: str, group_cols: Sequence[str], num_bits: int = 1 << 20, num_hashes: int = 7
+) -> DataFrame:
+    factory = lambda: BloomFilter(num_bits=num_bits, num_hashes=num_hashes)  # noqa: E731
+    return sketch_grouped(df, col, group_cols, factory, BloomFilter.from_bytes)
+
+
+# ---------------------------------------------------------------- quantiles
+def tdigest_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    qs: Iterable[float] = (0.5, 0.9, 0.99, 0.999),
+    delta: float = 200.0,
+) -> DataFrame:
+    factory = lambda: TDigest(delta=delta)  # noqa: E731
+    qs = list(qs)
+    if group_cols:
+        merged = sketch_grouped(df, value_col, group_cols, factory, TDigest.from_bytes)
+        return quantile_table(merged, group_cols, qs, TDigest.from_bytes)
+    sk = sketch_global(df, value_col, factory, TDigest.from_bytes)
+    return df.sparkSession.createDataFrame(
+        [(float(q), float(sk.quantile(q))) for q in qs], "q double, est double"
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    qs: Iterable[float] = (0.5, 0.9, 0.99, 0.999),
+    k: int = 200,
+) -> DataFrame:
+    factory = lambda: KLLSketch(k=k)  # noqa: E731
+    qs = list(qs)
+    if group_cols:
+        merged = sketch_grouped(df, value_col, group_cols, factory, KLLSketch.from_bytes)
+        return quantile_table(merged, group_cols, qs, KLLSketch.from_bytes)
+    sk = sketch_global(df, value_col, factory, KLLSketch.from_bytes)
+    return df.sparkSession.createDataFrame(
+        [(float(q), float(sk.quantile(q))) for q in qs], "q double, est double"
+    )

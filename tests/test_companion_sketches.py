@@ -1,0 +1,177 @@
+"""Companion-sketch kernels: accuracy vs exact oracles + mergeable contract
+(FIXTURES.md §4): HLL within published RSE, CMS overestimate-only, Bloom zero
+false negatives, t-digest/KLL rank error within bound, all merges commutative."""
+
+import numpy as np
+import pytest
+
+from puddsketch_spark.core import BloomFilter, CountMinSketch, HLLSketch, KLLSketch, TDigest
+from puddsketch_spark.core.bloom import optimal_params
+
+
+def _ids(n, seed=0, card=None):
+    rng = np.random.default_rng(seed)
+    card = card or n
+    return np.array([f"conv{j:09d}" for j in rng.integers(0, card, n)], dtype=object)
+
+
+# ---------------------------------------------------------------- HLL
+@pytest.mark.parametrize("card", [100, 5_000, 200_000])
+def test_hll_accuracy(card):
+    vals = np.array([f"id{j}" for j in range(card)], dtype=object)
+    sk = HLLSketch(p=14).update(vals).update(vals[: card // 2])  # dupes don't count
+    rse = 1.04 / np.sqrt(2**14)
+    assert abs(sk.estimate() - card) / card <= 4 * rse, (sk.estimate(), card)
+
+
+def test_hll_merge_commutative_and_serde():
+    a = HLLSketch(p=12).update(_ids(20_000, 1, 5_000))
+    b = HLLSketch(p=12).update(_ids(20_000, 2, 8_000))
+    ab = HLLSketch.from_bytes(a.to_bytes()).merge(b)
+    ba = HLLSketch.from_bytes(b.to_bytes()).merge(a)
+    assert ab.same_buckets(ba)
+    exact = len(set(_ids(20_000, 1, 5_000)) | set(_ids(20_000, 2, 8_000)))
+    assert abs(ab.estimate() - exact) / exact <= 0.05
+
+
+def test_hll_precision_mismatch_raises():
+    with pytest.raises(ValueError, match="precision"):
+        HLLSketch(p=12).merge(HLLSketch(p=14))
+
+
+def test_hll_ints_and_floats():
+    sk = HLLSketch(p=12).update(np.arange(10_000, dtype=np.int64))
+    assert abs(sk.estimate() - 10_000) / 10_000 <= 0.05
+
+
+# ---------------------------------------------------------------- CMS
+def test_cms_bounds():
+    rng = np.random.default_rng(3)
+    # zipf-ish tool frequencies
+    tools = np.array(["search", "python", "browser", "editor"], dtype=object)
+    draws = tools[np.minimum(rng.geometric(0.5, 50_000) - 1, 3)]
+    sk = CountMinSketch(depth=5, width=2048).update(draws)
+    exact = {t: int((draws == t).sum()) for t in tools}
+    est = sk.query(tools)
+    for t, e in zip(tools, est):
+        assert e >= exact[t]  # never underestimates
+        assert e <= exact[t] + sk.eps * sk.total
+    assert sk.total == 50_000
+
+
+def test_cms_merge_and_serde():
+    a = CountMinSketch().update(_ids(10_000, 4, 100))
+    b = CountMinSketch().update(_ids(10_000, 5, 100))
+    ab = CountMinSketch.from_bytes(a.to_bytes()).merge(b)
+    ba = CountMinSketch.from_bytes(b.to_bytes()).merge(a)
+    assert ab.same_buckets(ba)
+    assert ab.total == 20_000
+
+
+def test_cms_weighted_update():
+    sk = CountMinSketch()
+    sk.update(np.array(["x", "y"], dtype=object), counts=np.array([10, 32]))
+    assert sk.query(np.array(["x"], dtype=object))[0] >= 10
+    assert sk.total == 42
+
+
+# ---------------------------------------------------------------- Bloom
+def test_bloom_no_false_negatives_and_fpr():
+    present = np.array([f"c{j:08d}" for j in range(50_000)], dtype=object)
+    m, k = optimal_params(50_000, fpr=0.01)
+    m = ((m + 63) // 64) * 64
+    bf = BloomFilter(num_bits=m, num_hashes=k).update(present)
+    assert bf.contains(present).all()  # ZERO false negatives
+    absent = np.array([f"z{j:08d}" for j in range(10_000)], dtype=object)
+    fpr = bf.contains(absent).mean()
+    assert fpr <= 0.02, fpr
+
+
+def test_bloom_merge_or_semantics():
+    m, k = 1 << 16, 5
+    a = BloomFilter(num_bits=m, num_hashes=k).update(np.array(["a", "b"], dtype=object))
+    b = BloomFilter(num_bits=m, num_hashes=k).update(np.array(["c"], dtype=object))
+    ab = BloomFilter.from_bytes(a.to_bytes()).merge(b)
+    assert ab.contains(np.array(["a", "b", "c"], dtype=object)).all()
+    ba = BloomFilter.from_bytes(b.to_bytes()).merge(a)
+    assert ab.same_buckets(ba)
+
+
+# ---------------------------------------------------------------- t-digest
+@pytest.mark.parametrize("dist,seed", [("lognormal", 0), ("uniform", 1), ("exponential", 2)])
+def test_tdigest_accuracy(dist, seed):
+    rng = np.random.default_rng(seed)
+    n = 100_000
+    v = {
+        "lognormal": rng.lognormal(5, 1, n),
+        "uniform": rng.uniform(1, 1000, n),
+        "exponential": rng.exponential(10, n),
+    }[dist]
+    td = TDigest(delta=200)
+    for chunk in np.array_split(v, 10):
+        td.update(chunk)
+    sv = np.sort(v)
+    for q in [0.01, 0.5, 0.9, 0.99, 0.999]:
+        est = td.quantile(q)
+        # rank error: where does est fall in the true CDF?
+        r = np.searchsorted(sv, est) / n
+        assert abs(r - q) <= 0.01, (dist, q, est, r)
+
+
+def test_tdigest_merge_commutative_exact():
+    rng = np.random.default_rng(7)
+    a = TDigest().update(rng.normal(100, 10, 20_000))
+    b = TDigest().update(rng.exponential(50, 20_000))
+    ab = TDigest.from_bytes(a.to_bytes()).merge(b)
+    ba = TDigest.from_bytes(b.to_bytes()).merge(a)
+    assert ab.same_buckets(ba)
+    assert ab.count == 40_000
+
+
+def test_tdigest_extremes():
+    td = TDigest().update(np.array([1.0, 2.0, 3.0]))
+    assert td.quantile(0.0) == 1.0
+    assert td.quantile(1.0) == 3.0
+
+
+# ---------------------------------------------------------------- KLL
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_kll_rank_error_within_bound(seed):
+    rng = np.random.default_rng(seed)
+    n = 200_000
+    v = rng.lognormal(5, 1, n)
+    sk = KLLSketch(k=200)
+    for chunk in np.array_split(v, 16):
+        sk.update(chunk)
+    assert sk.n == n
+    sv = np.sort(v)
+    eps = sk.rank_eps  # ~1.33% at k=200
+    for q in [0.05, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        est = sk.quantile(q)
+        r = np.searchsorted(sv, est) / n
+        assert abs(r - q) <= 2 * eps, (q, r, eps)
+
+
+def test_kll_merge_population_and_bound():
+    rng = np.random.default_rng(9)
+    parts = [KLLSketch(k=200).update(rng.uniform(0, 1, 30_000)) for _ in range(4)]
+    merged = KLLSketch.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == 120_000
+    assert merged.num_buckets <= 3 * 200  # retained items stay bounded
+    for q in [0.1, 0.5, 0.9]:
+        assert abs(merged.quantile(q) - q) <= 0.03
+
+
+def test_kll_serde_roundtrip():
+    rng = np.random.default_rng(11)
+    sk = KLLSketch(k=128).update(rng.normal(0, 1, 50_000))
+    rt = KLLSketch.from_bytes(sk.to_bytes())
+    assert rt.same_buckets(sk) and rt.n == sk.n
+    assert rt.quantile(0.5) == sk.quantile(0.5)
+
+
+def test_kll_k_mismatch_raises():
+    with pytest.raises(ValueError, match="k mismatch"):
+        KLLSketch(k=100).merge(KLLSketch(k=200))

@@ -1,0 +1,69 @@
+"""Companion sketches through the distributed pipeline (sketches.py APIs)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from puddsketch_spark.datagen import transcripts
+from puddsketch_spark.spark.features import with_text_len
+from puddsketch_spark.spark.sketches import (
+    bloom_global,
+    cms_global,
+    hll_distinct,
+    kll_quantiles,
+    tdigest_quantiles,
+)
+
+
+def test_hll_grouped_vs_exact(spark):
+    t = transcripts(spark, n_conv=800, avg_turns=8, seed=5).cache()
+    est = {r.role: r.est for r in hll_distinct(t, "conv_id", ["role"], p=14).collect()}
+    exact = {
+        r.role: r.x
+        for r in t.groupBy("role").agg(F.count_distinct("conv_id").alias("x")).collect()
+    }
+    for role, x in exact.items():
+        assert abs(est[role] - x) / x <= 0.05, (role, est[role], x)
+
+
+def test_hll_global_int_column(spark):
+    t = transcripts(spark, n_conv=500, avg_turns=8, seed=6)
+    n = hll_distinct(t.select(F.col("turn_idx").cast("long").alias("v")), "v")
+    exact = t.select("turn_idx").distinct().count()
+    assert abs(n - exact) / exact <= 0.05
+
+
+def test_cms_global_tool_freq(spark):
+    t = transcripts(spark, n_conv=500, avg_turns=8, seed=7).where("tool is not null")
+    cms = cms_global(t, "tool")
+    exact = {r[0]: r[1] for r in t.groupBy("tool").count().collect()}
+    tools = np.array(sorted(exact), dtype=object)
+    est = cms.query(tools)
+    for tool, e in zip(tools, est):
+        assert exact[tool] <= e <= exact[tool] + cms.eps * cms.total
+
+
+def test_bloom_global_membership(spark):
+    t = transcripts(spark, n_conv=300, avg_turns=8, seed=8)
+    bf = bloom_global(t, "conv_id", num_bits=1 << 18, num_hashes=7)
+    present = np.array([f"c{j:08d}" for j in range(300)], dtype=object)
+    absent = np.array([f"c{j:08d}" for j in range(1000, 1300)], dtype=object)
+    assert bf.contains(present).all()
+    assert bf.contains(absent).mean() <= 0.02
+
+
+def test_tdigest_and_kll_grouped(spark):
+    t = with_text_len(transcripts(spark, n_conv=1000, avg_turns=8, seed=9)).cache()
+    exact = {
+        (r.role, q): r[f"p{i}"]
+        for r in t.groupBy("role")
+        .agg(*[F.expr(f"percentile(text_len, {q})").alias(f"p{i}") for i, q in enumerate([0.5, 0.9])])
+        .collect()
+        for i, q in enumerate([0.5, 0.9])
+    }
+    for fn, tol in [(tdigest_quantiles, 0.02), (kll_quantiles, 0.03)]:
+        est = {
+            (r.role, r.q): r.est for r in fn(t, "text_len", ["role"], [0.5, 0.9]).collect()
+        }
+        for (role, q), x in exact.items():
+            # uniform(1,1000): value error ~ rank error * range
+            assert abs(est[(role, q)] - x) <= tol * 1000 + 1, (fn.__name__, role, q)
