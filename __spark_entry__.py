@@ -379,6 +379,178 @@ FROM documents GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# dedup / similarity / text-analysis operators
+# --------------------------------------------------------------------------
+def _ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram jaccard pairs within a doubled corpus (each doc +
+    an exact copy), so the expected pair set is known: every (id, id+offset)
+    pair at jaccard 1.0, plus any organic near-dups."""
+    from puddsketch_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = ngram_jaccard_pairs(doubled, n=3, threshold=0.8)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_NGRAM_SQL = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM doubled),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+  FROM grams g1 JOIN grams g2 USING (gram)
+  WHERE g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE i / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+
+def _cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from puddsketch_spark.ops.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    top = cosine_topk(emb, q, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q
+ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from puddsketch_spark.ops.text import with_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_quality_score(d)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+    )
+
+
+_QUALITY_SQL = """
+WITH q AS (
+  SELECT source,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
+  FROM documents
+), s AS (
+  SELECT source,
+    round(
+      (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0e0 ELSE 0.0e0 END) * 0.25
+      + least((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0e0 END) / 0.6e0, 1.0e0) * 0.35
+      + (CASE WHEN (CASE WHEN n_chars = 0 THEN 0 ELSE n_space + 1 END) > 0
+              AND ((n_chars - n_space) / (CASE WHEN n_chars = 0 THEN NULL ELSE n_space + 1 END))
+                  BETWEEN 2.0e0 AND 12.0e0
+         THEN 1.0e0 ELSE 0.0e0 END) * 0.2
+      + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 1.0e0 END) <= 0.1e0
+         THEN 1.0e0 ELSE 0.0e0 END) * 0.2
+    , 6) AS quality
+  FROM q
+)
+SELECT source, COUNT(*) AS n_docs,
+       round(AVG(quality), 6) AS avg_quality,
+       round(MIN(quality), 6) AS min_quality
+FROM s GROUP BY source
+"""
+
+
+def _lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted vs labeled language distribution (marker-based heuristic)."""
+    from puddsketch_spark.ops.text import with_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_lang_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _minhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall oracle: double the corpus with exact copies; every original
+    must pair with its copy at est_jaccard 1.0."""
+    from puddsketch_spark.ops.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = minhash_dedup_pairs(doubled, num_perm=64, bands=16, threshold=0.9)
+    n_docs = d.count()
+    n_self = pairs.where(
+        (F.col("b") - F.col("a") == 1_000_000) & (F.col("est_jaccard") == 1.0)
+    ).count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_self), bool(n_self == n_docs))],
+        "n_docs long, n_self_pairs long, recall_ok boolean",
+    )
+
+
+_MINHASH_SQL = """
+SELECT COUNT(*) AS n_docs, COUNT(*) AS n_self_pairs, TRUE AS recall_ok FROM documents
+"""
+
+
+def _simhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from puddsketch_spark.ops.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = simhash_near_dups(doubled, max_hamming=0)
+    n_docs = d.count()
+    n_self = pairs.where(F.col("b") - F.col("a") == 1_000_000).count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_self), bool(n_self == n_docs))],
+        "n_docs long, n_self_pairs long, recall_ok boolean",
+    )
+
+
+def _ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from puddsketch_spark.ops.similarity import cosine_topk, ivf_assign, ivf_topk, random_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = random_centroids(64, n_cells=16)
+    assigned = ivf_assign(emb, cents)
+    q = emb.where(F.col("vec_id") == 7).first().embedding
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(assigned, cents, q, k=10, n_probe=8).collect()}
+    recall = len(exact & approx) / 10.0
+    return spark.createDataFrame(
+        [(10, float(recall), bool(recall >= 0.5))],
+        "k int, recall double, recall_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "udds_quantile_global": _udds_global,
@@ -394,6 +566,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_custkeys": _bloom_custkeys,
         "kll_price_rank": _kll_price_rank,
         "tdigest_price_rank": _tdigest_price_rank,
+        "ngram_jaccard_docs": _ngram_jaccard_docs,
+        "cosine_topk_embeddings": _cosine_topk_embeddings,
+        "doc_quality_stats": _doc_quality_stats,
+        "lang_id_agreement": _lang_id_agreement,
+        "minhash_selfdup_recall": _minhash_selfdup_recall,
+        "simhash_selfdup_recall": _simhash_selfdup_recall,
+        "ivf_recall_check": _ivf_recall_check,
     }
 
 
@@ -412,4 +591,13 @@ def oracle_sql() -> dict[str, str]:
         "bloom_custkeys": _BLOOM_SQL,
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
+        "ngram_jaccard_docs": _NGRAM_SQL,
+        "cosine_topk_embeddings": _TOPK_SQL,
+        "doc_quality_stats": _QUALITY_SQL,
+        # lang_id_agreement: marker-argmax is replicable but tokenization-
+        # fragile in SQL; driver rows-only check + pytest oracle instead
+        "minhash_selfdup_recall": _MINHASH_SQL,
+        "simhash_selfdup_recall": _MINHASH_SQL,
+        # ivf_recall_check: randomized-centroid recall, boolean self-check;
+        # rows-only in the driver
     }

@@ -1,0 +1,384 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all Spark-first:
+  * exact        — hash groupBy on md5(text); pure Catalyst, shuffles hashes.
+  * minhash+LSH  — char-shingle -> minhash signature (Arrow-vectorized rolling
+                   hash, no per-row Python), band -> bucket join for candidate
+                   pairs. Scale path: the self-join is on (band, band_hash)
+                   buckets, never all-pairs.
+  * simhash      — 64-bit token-weighted simhash; near-dups via hamming<=t,
+                   candidate generation by 16-bit chunk equality (pigeonhole:
+                   hamming<=3 guarantees one of 4 chunks equal).
+  * ngram jaccard— exact shingle-set jaccard via explode + pair join
+                   (SQL-expressible -> DuckDB oracle-checkable).
+
+Vectorization core: a whole Arrow batch of texts is concatenated into one
+uint8 buffer; k-gram rolling hashes come from a single sliding_window_view
+dot-product (uint64 wraparound), boundary-crossing windows masked out. Per
+batch this is O(total_bytes * k) numpy work — no Python loop over documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..core.hashing import splitmix64
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash_bits",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "embedding_near_dups",
+]
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivors after exact-content dedup: min id per md5(text).
+
+    One hash-shuffle on the digest; at 100 TB this is the standard pattern
+    (shuffle moves 32-byte digests + ids, not documents).
+    """
+    h = F.md5(F.col(text_col)).alias("_h")
+    keep = df.select(h, F.col(id_col)).groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------- shingles
+def _batch_shingle_hashes(texts: np.ndarray, k: int):
+    """Rolling k-gram uint64 hashes for a batch of strings, one numpy pass.
+
+    Returns (hashes, doc_starts): hashes is the concatenated shingle-hash
+    array; doc i owns hashes[doc_starts[i]:doc_starts[i+1]].
+    """
+    bufs = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    blob = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    n_sh = np.maximum(lens - k + 1, 0)
+    doc_starts = np.concatenate([[0], np.cumsum(n_sh)])
+    if blob.size < k:
+        return np.empty(0, dtype=_U64), doc_starts
+    win = np.lib.stride_tricks.sliding_window_view(blob, k).astype(_U64)
+    powers = _U64(1099511628211) ** np.arange(k, dtype=_U64)  # FNV-prime powers
+    with np.errstate(over="ignore"):
+        raw = (win * powers).sum(axis=1, dtype=_U64)
+        hashes = splitmix64(raw)
+    # drop windows that cross document boundaries
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    valid_idx = []
+    for s, e, ns in zip(starts, ends, n_sh):
+        if ns > 0:
+            valid_idx.append(np.arange(s, s + ns))
+    if not valid_idx:
+        return np.empty(0, dtype=_U64), doc_starts
+    idx = np.concatenate(valid_idx)
+    return hashes[idx], doc_starts
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """DataFrame[id, sig:array<bigint>] of minhash signatures.
+
+    Permutations are splitmix64 remixes of the shingle hash (standard
+    one-hash + k-mix minhash). Empty/too-short docs get an all-MAX signature.
+    """
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("sig", ArrayType(LongType(), False), False),
+        ]
+    )
+    seeds = (np.arange(1, num_perm + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").to_numpy()
+            ids = pdf[id_col].to_numpy()
+            hashes, doc_starts = _batch_shingle_hashes(texts, shingle_k)
+            sigs = np.full((len(texts), len(seeds)), np.iinfo(np.int64).max, dtype=np.int64)
+            counts = np.diff(doc_starts)
+            nonempty = np.flatnonzero(counts > 0)
+            if nonempty.size and hashes.size:
+                starts_ne = doc_starts[nonempty]
+                with np.errstate(over="ignore"):
+                    for j, seed in enumerate(seeds):
+                        mixed = (hashes ^ seed) >> _U64(1)  # keep in int64 range
+                        mins = np.minimum.reduceat(mixed, starts_ne)
+                        sigs[nonempty, j] = mins.astype(np.int64)
+            yield pd.DataFrame({id_col: ids, "sig": list(sigs)})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
+
+    Shuffle is on (band, band_hash) — collisions only; never an all-pairs
+    join. Returns DataFrame[a, b] with a < b, plus the estimated jaccard from
+    full-signature agreement.
+    """
+    num_perm = len(sigs.select("sig").first()[0])
+    rows = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("array<string>").cast("string"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    # estimated jaccard = fraction of agreeing signature positions (JVM-side)
+    agree = F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda s: s.sig_a == s.sig_b))
+    return pairs.select(
+        "a", "b", (agree / F.lit(float(num_perm))).alias("est_jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 5,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end: near-dup pairs with estimated jaccard >= threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    return lsh_candidate_pairs(sigs, id_col, bands).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
+) -> DataFrame:
+    """DataFrame[id, simhash:long] — 64-bit shingle simhash."""
+    out_schema = StructType([df.schema[id_col], StructField("simhash", LongType(), False)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").to_numpy()
+            ids = pdf[id_col].to_numpy()
+            hashes, doc_starts = _batch_shingle_hashes(texts, shingle_k)
+            out = np.zeros(len(texts), dtype=np.int64)
+            counts = np.diff(doc_starts)
+            if hashes.size:
+                # bit matrix votes: +1 for set bit, -1 for unset, per doc
+                bits = ((hashes[:, None] >> np.arange(64, dtype=_U64)) & _U64(1)).astype(
+                    np.int64
+                ) * 2 - 1
+                ne = np.flatnonzero(counts > 0)
+                votes = np.add.reduceat(bits, doc_starts[ne], axis=0)
+                sim = (votes > 0).astype(np.uint64)
+                packed = np.zeros(ne.size, dtype=_U64)
+                with np.errstate(over="ignore"):
+                    for b in range(64):
+                        packed |= sim[:, b] << _U64(b)
+                out[ne] = packed.view(np.int64)
+            yield pd.DataFrame({id_col: ids, "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split 64 bits into 4 chunks of 16; hamming<=3 means
+    at least one chunk matches exactly, so candidates come from 4 bucket
+    joins, not an all-pairs product. JVM-side bit_count verifies.
+    """
+    sh = simhash_bits(df, text_col, id_col, shingle_k)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    use_words: bool = True,
+) -> DataFrame:
+    """Exact n-gram-set jaccard for all pairs sharing >=1 gram.
+
+    Pure Catalyst: explode grams -> self-join on gram -> count intersections
+    -> jaccard = |I| / (|A|+|B|-|I|). SQL-expressible (DuckDB oracle).
+    At scale the gram join is the bottleneck; use minhash_dedup_pairs there —
+    this operator is the exact oracle / small-corpus path.
+    """
+    if use_words:
+        toks = F.split(F.col(text_col), " ")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(text_col) - n, F.lit(0))),
+                lambda i: F.col(text_col).substr(i + 1, F.lit(n)),
+            )
+        )
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select(F.col(id_col).alias("a"), "gram")
+    b = g.select(F.col(id_col).alias("b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------- embeddings
+def _cosine_expr(ca: str, cb: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(ca).cast("array<double>"), F.col(cb).cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm(ca) * norm(cb))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold.
+
+    Banded random-hyperplane LSH: ``num_bands`` sign-bit signatures of
+    ``planes_per_band`` deterministic pseudo-random planes each; a pair is a
+    candidate if ANY band signature matches (recall ~0.9 at cosine 0.95 with
+    4x8), then exact cosine verifies JVM-side (zip_with/aggregate — whole
+    batch codegen'd, no Python). The join is per-(band, signature) bucket,
+    never all-pairs.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bands * planes_per_band, dim))
+
+    def band_sig(b: int):
+        bits = []
+        for j in range(planes_per_band):
+            row = planes[b * planes_per_band + j]
+            p = F.array(*[F.lit(float(x)) for x in row])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col).cast("array<double>"), p, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, "1").otherwise("0"))
+        return F.concat(*bits)
+
+    tagged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*[band_sig(b) for b in range(num_bands)])).alias(
+            "band", "sig"
+        ),
+    )
+    a = tagged.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "band", "sig")
+    b = tagged.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", _cosine_expr("va", "vb").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

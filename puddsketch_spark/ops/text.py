@@ -1,0 +1,142 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path expressions are Catalyst built-ins (codegen'd, no Python):
+token counting, quality scoring, stopword-marker language ID. Document
+fingerprinting (winnowing) rides the same vectorized rolling-hash core as
+minhash. Designed to run over the `documents` table (doc_id, text, lang,
+source, n_chars) and transcript `text` columns alike.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..core.hashing import splitmix64
+from .dedup import _batch_shingle_hashes
+
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "with_quality_score",
+    "with_lang_id",
+    "winnowing_fingerprints",
+]
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------- tokens
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (codegen'd)."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).alias("n_tokens")
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-flavored token estimate: word pieces + punctuation + digit runs.
+
+    regexp_count of GPT-2-style pretokenizer classes — a cheap JVM-side proxy
+    for tokenizer cost without shipping a vocab.
+    """
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return F.regexp_count(F.col(text_col), F.lit(pat)).alias("n_bpe_tokens")
+
+
+# ---------------------------------------------------------------- quality
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", out: str = "quality"
+) -> DataFrame:
+    """Heuristic quality in [0,1]: length band + alpha ratio + mean word len
+    band + low symbol ratio (C4/Gopher-rule flavored, all built-ins)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_words = F.when(n_chars == 0, 0).otherwise(n_space + 1)
+    mean_wlen = F.when(n_words > 0, (n_chars - n_space) / n_words).otherwise(F.lit(0.0))
+    len_ok = (n_chars >= 50) & (n_chars <= 100_000)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(1.0))
+    score = (
+        len_ok.cast("double") * 0.25
+        + F.least(alpha_ratio / 0.6, F.lit(1.0)) * 0.35
+        + wlen_ok.cast("double") * 0.2
+        + (sym_ratio <= 0.1).cast("double") * 0.2
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+# ---------------------------------------------------------------- lang id
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "you", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "es"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他", "不"],
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID (JVM-side): score = marker hits per
+    language over the token array, argmax wins, 'und' if nothing hits."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = []
+    langs = list(_LANG_MARKERS)
+    for lang in langs:
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        scores.append(F.size(F.array_intersect(toks, markers)))
+    sarr = F.array(*scores)
+    best = F.array_max(sarr)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(lang) for lang in langs]), F.array_position(sarr, best).cast("int")
+        )
+    )
+    return df.withColumn(out, pred)
+
+
+# ---------------------------------------------------------------- fingerprint
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    min rolling-hash per sliding window of k-gram hashes, deduplicated.
+    Output: DataFrame[id, fp:long] — one row per selected fingerprint.
+    Same Arrow-vectorized rolling-hash core as minhash; the window-min is a
+    sliding_window_view reduction, no per-row Python."""
+    out_schema = StructType([df.schema[id_col], StructField("fp", LongType(), False)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").to_numpy()
+            ids = pdf[id_col].to_numpy()
+            hashes, doc_starts = _batch_shingle_hashes(texts, k)
+            out_ids, out_fps = [], []
+            counts = np.diff(doc_starts)
+            for i in range(len(texts)):
+                h = hashes[doc_starts[i] : doc_starts[i] + counts[i]]
+                if h.size == 0:
+                    continue
+                if h.size <= window:
+                    fps = np.array([h.min()], dtype=_U64)
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                    fps = np.unique(wins.min(axis=1))
+                out_ids.extend([ids[i]] * fps.size)
+                out_fps.extend((fps >> _U64(1)).astype(np.int64))
+            yield pd.DataFrame({id_col: out_ids, "fp": out_fps})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)

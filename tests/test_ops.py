@@ -1,0 +1,213 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash/jaccard/embedding),
+similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from puddsketch_spark.ops.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from puddsketch_spark.ops.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    random_centroids,
+)
+from puddsketch_spark.ops.text import (
+    bpe_ish_token_count,
+    token_count,
+    winnowing_fingerprints,
+    with_lang_id,
+    with_quality_score,
+)
+
+SF = "/root/testdata/sf0.01"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and keeps running through the forest "
+    "while the hunter watches from a distance with great patience and silent focus"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup of 0
+        Row(doc_id=2, text=BASE.replace("lazy", "sleepy")),  # near dup of 0
+        Row(doc_id=3, text="completely different content about spark dataframes and "
+                           "distributed aggregation pipelines at terabyte scale"),
+        Row(doc_id=4, text=BASE.replace("fox", "cat").replace("dog", "wolf")),  # near dup
+        Row(doc_id=5, text="short"),
+        Row(doc_id=6, text=""),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_dedup(spark, dup_docs):
+    out = exact_dedup(dup_docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5, 6]  # doc 1 removed, survivor is min id
+
+
+def test_minhash_identical_docs_full_agreement(spark, dup_docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(dup_docs, num_perm=64).collect()}
+    assert sigs[0] == sigs[1]
+    agree_near = np.mean(np.array(sigs[0]) == np.array(sigs[2]))
+    agree_far = np.mean(np.array(sigs[0]) == np.array(sigs[3]))
+    assert agree_near > 0.6
+    assert agree_far < 0.2
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    pairs = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_dedup_pairs(dup_docs, num_perm=64, bands=16, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    pairs = {(r.a, r.b): r.hamming for r in
+             simhash_near_dups(dup_docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_exact(spark, dup_docs):
+    out = {(r.a, r.b): r.jaccard for r in
+           ngram_jaccard_pairs(dup_docs, n=3, threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.3 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(32)
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in base]),
+        Row(vec_id=1, embedding=[float(x) for x in base * 2.0]),  # cosine 1.0
+        Row(vec_id=2, embedding=[float(x) for x in base + rng.standard_normal(32) * 0.05]),
+        Row(vec_id=3, embedding=[float(x) for x in rng.standard_normal(32)]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.a, r.b): r.cosine for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id = 0").first().embedding
+    top = cosine_topk(emb, q, k=5).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == pytest.approx(1.0)
+    assert len(top) == 5
+    cosines = [r.cosine for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+    # exact oracle via numpy
+    import pandas as pd
+
+    pdf = emb.toPandas()
+    M = np.stack(pdf.embedding.map(np.asarray))
+    qv = np.asarray(q)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    best5 = set(pdf.vec_id[np.argsort(-cos)[:5]])
+    assert {r.vec_id for r in top} == best5
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cents = random_centroids(64, n_cells=16)
+    assigned = ivf_assign(emb, cents).cache()
+    # every vector gets a valid cell
+    cells = assigned.select("cell_id").distinct().collect()
+    assert all(0 <= r.cell_id < 16 for r in cells)
+    q = emb.where("vec_id = 7").first().embedding
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(assigned, cents, q, k=10, n_probe=8).collect()}
+    assert len(exact & approx) >= 5  # >=50% recall at half the cells probed
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="hello world, 42 foo-bar"), Row(doc_id=1, text=""), Row(doc_id=2, text="   ")]
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_bpe_tokens) for r in
+           df.select("doc_id", token_count("text"), bpe_ish_token_count("text")).collect()}
+    assert out[0][0] == 4
+    # hello, world, ',', 4, 2, foo, '-', bar = 8
+    assert out[0][1] == 8
+    assert out[1] == (0, 0)
+    assert out[2][0] == 0
+
+
+def test_quality_score(spark):
+    good = "This is a reasonably long paragraph of clean English text. " * 3
+    bad = "@@@@ #### $$$$ %%%% ^^^^ &&&& <<<< >>>>"
+    df = spark.createDataFrame([Row(doc_id=0, text=good), Row(doc_id=1, text=bad)])
+    s = {r.doc_id: r.quality for r in with_quality_score(df).collect()}
+    assert s[0] > 0.8
+    assert s[1] < 0.4
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat and the dog went to the market and it is nice"),
+            Row(doc_id=1, text="el perro y la casa de los amigos es una maravilla por la noche"),
+            Row(doc_id=2, text="xyzzy plugh"),
+        ]
+    )
+    out = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+
+
+def test_winnowing_fingerprints(spark, dup_docs):
+    fp = winnowing_fingerprints(dup_docs).cache()
+    by_doc = {
+        r.doc_id: r.fps
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert set(by_doc[0]) == set(by_doc[1])  # identical docs -> identical fps
+    # near-dup shares most fingerprints, unrelated shares few
+    j = lambda a, b: len(set(a) & set(b)) / len(set(a) | set(b))  # noqa: E731
+    assert j(by_doc[0], by_doc[2]) > 0.5
+    assert j(by_doc[0], by_doc[3]) < 0.1
+    assert 6 not in by_doc  # empty doc -> no fingerprints
+
+
+def test_multimodal_plumbing(spark):
+    from puddsketch_spark.ops.multimodal import decode_and_featurize, frame_sample_plan
+
+    rows = [
+        Row(media_id="a", kind="image", payload=bytes(range(200)), mime="image/fake",
+            width=10, height=20, duration_ms=None),
+        Row(media_id="b", kind="image", payload=b"", mime="image/fake",
+            width=0, height=0, duration_ms=None),  # decode failure
+        Row(media_id="c", kind="video", payload=bytes(100), mime="video/fake",
+            width=1, height=1, duration_ms=5000),
+    ]
+    from puddsketch_spark.ops.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    assert out["a"].decode_ok and len(out["a"].feat) == 16
+    assert not out["b"].decode_ok and out["b"].feat is None  # poison pill isolated
+    assert out["c"].decode_ok
+    # deterministic: same payload -> same features
+    out2 = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    assert out2["a"].feat == out["a"].feat
+    assert frame_sample_plan(5000, fps_target=1.0) == [500, 1500, 2500, 3500, 4500]
+    assert frame_sample_plan(0) == []
