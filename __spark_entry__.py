@@ -36,29 +36,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return _udds_by_flag(spark, SF001)
 
 
-def _udds_factory():
-    from puddsketch_spark.core import UDDSketch
-
-    return UDDSketch(initial_alpha=_A, m=0)
-
-
 def _udds_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM fill path (Tungsten hash-agg histogram); bit-identical to the
+    Arrow engine — see tests/test_spark_agg.py::test_jvm_engine_bit_parity."""
+    import numpy as np
+
     from puddsketch_spark.core import UDDSketch
-    from puddsketch_spark.spark.agg import sketch_global
+    from puddsketch_spark.spark.agg import udds_bucket_counts
 
     li = _t(spark, sf_dir, "lineitem")
-    sk = sketch_global(li, "l_extendedprice", _udds_factory, UDDSketch.from_bytes)
+    buckets = udds_bucket_counts(li, "l_extendedprice", (), _A).collect()
+    zero = sum(r["_bcnt"] for r in buckets if r["_bkey"] is None)
+    live = sorted((r["_bkey"], r["_bcnt"]) for r in buckets if r["_bkey"] is not None)
+    sk = UDDSketch(
+        initial_alpha=_A, m=0, zero_count=int(zero),
+        keys=np.array([k for k, _ in live], dtype=np.int64),
+        counts=np.array([c for _, c in live], dtype=np.int64),
+    )
     rows = [(float(q), float(sk.quantile(q)), int(sk.count)) for q in _QS]
     return spark.createDataFrame(rows, "q double, est double, n long")
 
 
 def _udds_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puddsketch_spark.core import UDDSketch
-    from puddsketch_spark.spark.agg import quantile_table, sketch_grouped
+    from puddsketch_spark.spark.agg import quantile_table, sketch_grouped_jvm
 
     li = _t(spark, sf_dir, "lineitem")
-    merged = sketch_grouped(li, "l_extendedprice", ["l_returnflag"], _udds_factory,
-                            UDDSketch.from_bytes)
+    merged = sketch_grouped_jvm(li, "l_extendedprice", ["l_returnflag"], _A, 0)
     qt = quantile_table(merged, ["l_returnflag"], _QS, UDDSketch.from_bytes)
     return qt.join(merged.select("l_returnflag", F.col("n")), "l_returnflag").select(
         "l_returnflag", "q", "est", "n"
@@ -379,6 +383,45 @@ FROM documents GROUP BY lang
 """
 
 
+def _ddsketch_signed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch pair over a mixed-sign feature (events.value - 50); oracle
+    re-derives the three-way sign split + ordered walk in SQL, bit-for-bit."""
+    from puddsketch_spark.core import DDSketchPair
+    from puddsketch_spark.spark.agg import sketch_global
+
+    ev = _t(spark, sf_dir, "events").select((F.col("value") - F.lit(50.0)).alias("v"))
+    sk = sketch_global(ev, "v", lambda: DDSketchPair(initial_alpha=_A, m=0),
+                       DDSketchPair.from_bytes)
+    qs = (0.01, 0.1, 0.5, 0.9, 0.99)
+    rows = [(float(q), float(sk.quantile(q)), int(sk.count)) for q in qs]
+    return spark.createDataFrame(rows, "q double, est double, n long")
+
+
+_DD_SQL = f"""
+WITH vals AS (SELECT value - 50.0e0 AS v FROM events WHERE NOT isnan(value)),
+keyed AS (
+  SELECT CASE WHEN abs(v) < 2.2250738585072014e-308 THEN 0
+              WHEN v > 0 THEN 1 ELSE -1 END AS s,
+         CASE WHEN abs(v) >= 2.2250738585072014e-308
+              THEN CAST(ceil(ln(abs(v))/ln({_G_SQL})) AS BIGINT) ELSE 0 END AS k
+  FROM vals
+),
+b AS (SELECT s, k, COUNT(*) AS c FROM keyed GROUP BY s, k),
+o AS (SELECT s, k, c, SUM(c) OVER (ORDER BY s ASC, s*k ASC) AS cumc FROM b),
+nn AS (SELECT COUNT(*) AS n FROM keyed),
+qs AS (SELECT * FROM (VALUES (0.01e0),(0.1e0),(0.5e0),(0.9e0),(0.99e0)) AS t(q))
+SELECT qs.q AS q,
+       (SELECT CASE WHEN o.s = 0 THEN 0.0e0
+                    ELSE o.s * power({_G_SQL}, o.k)
+                         * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) END
+        FROM o, nn
+        WHERE o.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT)
+        ORDER BY o.s ASC, o.s*o.k ASC LIMIT 1) AS est,
+       nn.n AS n
+FROM qs CROSS JOIN nn
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup / similarity / text-analysis operators
 # --------------------------------------------------------------------------
@@ -566,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_custkeys": _bloom_custkeys,
         "kll_price_rank": _kll_price_rank,
         "tdigest_price_rank": _tdigest_price_rank,
+        "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
@@ -591,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_custkeys": _BLOOM_SQL,
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
+        "ddsketch_signed_quantiles": _DD_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,

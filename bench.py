@@ -22,8 +22,11 @@ import time
 def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     from puddsketch_spark.core import UDDSketch
     from puddsketch_spark.datagen import transcripts
-    from puddsketch_spark.spark.agg import sketch_grouped, quantile_table
-    from puddsketch_spark.spark.features import with_text_len
+    from puddsketch_spark.spark.agg import (
+        quantile_table,
+        sketch_grouped,
+        sketch_grouped_jvm,
+    )
     from puddsketch_spark.spark.session import get_spark
 
     import __spark_entry__ as entry
@@ -51,25 +54,33 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
 
     # sketch throughput on the north_rule transcript shape: generate (timed
     # separately), then fill+merge, report turns/sec over the sketch phase
+    # for both engines (jvm = flagship Tungsten fill; arrow = generic path)
     n_conv = max(1, n_turn_target // 8)
     t0 = time.time()
-    t = with_text_len(transcripts(spark, n_conv=n_conv, avg_turns=8, seed=42))
+    t = transcripts(spark, n_conv=n_conv, avg_turns=8, seed=42, with_text=False)
     t = t.select("role", "text_len").persist()
     n_turns = t.count()
     gen_s = time.time() - t0
+
+    t0 = time.time()
+    merged = sketch_grouped_jvm(t, "text_len", ["role"], 0.01, 200)
+    quantile_table(merged, ["role"], [0.5, 0.9, 0.99, 0.999], UDDSketch.from_bytes).collect()
+    jvm_s = time.time() - t0
+    timings["udds_transcripts_grouped_jvm"] = round(jvm_s, 3)
+
     t0 = time.time()
     merged = sketch_grouped(
         t, "text_len", ["role"],
         lambda: UDDSketch(initial_alpha=0.01, m=200), UDDSketch.from_bytes,
     )
-    res = quantile_table(merged, ["role"], [0.5, 0.9, 0.99, 0.999], UDDSketch.from_bytes)
-    res.collect()
-    sketch_s = time.time() - t0
+    quantile_table(merged, ["role"], [0.5, 0.9, 0.99, 0.999], UDDSketch.from_bytes).collect()
+    arrow_s = time.time() - t0
     t.unpersist()
-    timings["udds_transcripts_grouped"] = round(sketch_s, 3)
+    timings["udds_transcripts_grouped_arrow"] = round(arrow_s, 3)
     extras["transcript_turns"] = n_turns
     extras["transcript_gen_sec"] = round(gen_s, 3)
-    extras["sketch_throughput_turns_per_sec"] = round(n_turns / sketch_s, 1)
+    extras["sketch_throughput_turns_per_sec_jvm"] = round(n_turns / jvm_s, 1)
+    extras["sketch_throughput_turns_per_sec_arrow"] = round(n_turns / arrow_s, 1)
 
     spark.stop()
     total = round(sum(timings.values()), 3)

@@ -1,4 +1,5 @@
 from .bloom import BloomFilter  # noqa: F401
+from .ddsketch import DDSketchPair  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
 from .hll import HLLSketch  # noqa: F401
 from .kll import KLLSketch  # noqa: F401

@@ -34,6 +34,9 @@ def transcripts(
     length_dist: str = "uniform",  # uniform(1,1000) | lognormal(5,1)
     skew: str | None = None,  # None -> ~uniform conv sizes; "zipf" -> pareto-tailed
     partitions: int | None = None,
+    with_text: bool = True,  # False: emit text_len (double) instead of the
+    # text bytes — length(text) == text_len by construction (rpad truncates),
+    # so sketch benchmarks skip materializing ~500B/row of padding
 ) -> DataFrame:
     conv = spark.range(0, n_conv, 1, partitions or spark.sparkContext.defaultParallelism)
     u_sz = _u01(F.col("id"), F.lit(seed), F.lit("size"))
@@ -87,6 +90,15 @@ def transcripts(
         + F.sum(lat_us).over(w)
     )
     conv_id = F.format_string("c%08d", F.col("conv"))
+    if not with_text:
+        return df.select(
+            conv_id.alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            role.alias("role"),
+            text_len.cast("double").alias("text_len"),
+            tool.alias("tool"),
+            ts.alias("ts"),
+        )
     prefix = F.concat_ws(":", role, conv_id, F.col("turn_idx").cast("string"), F.lit(""))
     text = F.rpad(prefix, text_len, "x")
     return df.select(

@@ -85,48 +85,67 @@ def partial_sketches(
 ) -> DataFrame:
     """Stage 1: one sketch row per (group x input-partition).
 
-    Vectorized map-side combine: each Arrow batch is pandas-grouped and fed
-    to the kernel's numpy ``update``; only fixed-size states leave the stage.
-    Emits per-partition lineage/metrics (partition_id, n, buckets, collapses)
-    per the north_rule, mirroring the reference's per-rank logs
+    mapInArrow map-side combine: group columns stay dictionary-encoded
+    (codes are int32 numpy; only the per-DISTINCT-group values ever become
+    Python objects), values go straight to the kernel's numpy ``update``.
+    Zero per-row Python objects — the pandas conversion of millions of
+    group strings was the hot spot at 50M+ rows. Emits per-partition
+    lineage/metrics (partition_id, n, buckets, collapses) per the
+    north_rule, mirroring the reference's per-rank logs
     (/root/reference/ParallelDDSketch/src/ParallelSketcher.cc:662-708).
     """
     group_cols = list(group_cols)
     schema = _partial_schema(df, group_cols)
     pruned = df.select(*group_cols, value_col)
+    numeric_value = pruned.schema[value_col].dataType.typeName() in {
+        "double", "float", "integer", "long", "short", "byte", "decimal",
+    }
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches):
+        import pyarrow as pa
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         sketches: dict[tuple, object] = {}
-        for pdf in batches:
-            s = pdf[value_col]
-            if pd.api.types.is_numeric_dtype(s):
-                # numeric: NaN-coded nulls, kernels drop NaN themselves
-                vals_all = s.to_numpy(dtype="float64", na_value=np.nan)
+        arrow_schema = None
+        for batch in batches:
+            if arrow_schema is None:
+                arrow_schema = batch.schema
+            vcol = batch.column(len(group_cols))
+            if numeric_value:
+                vals_all = vcol.cast(pa.float64()).to_numpy(zero_copy_only=False)
                 valid = None
             else:
-                # strings/objects (HLL/CMS/Bloom): drop nulls via mask so
-                # group-slice indexing stays aligned
-                vals_all = s.to_numpy()
-                valid = s.notna().to_numpy()
+                vals_all = vcol.to_numpy(zero_copy_only=False)
+                valid = ~np.asarray(vcol.is_null())
             if not group_cols:
                 sk = sketches.setdefault((), factory())
                 sk.update(vals_all if valid is None else vals_all[valid])
                 continue
-            codes, uniques = pd.factorize(
-                pd.MultiIndex.from_frame(pdf[group_cols])
-                if len(group_cols) > 1
-                else pdf[group_cols[0]],
-                use_na_sentinel=False,
-            )
-            order = np.argsort(codes, kind="stable")
-            sorted_codes = codes[order]
-            starts = np.flatnonzero(np.diff(sorted_codes, prepend=-1))
+            # dictionary-encode each group col: int codes, tiny value dicts
+            code_arrays, dicts = [], []
+            for gi in range(len(group_cols)):
+                de = batch.column(gi).dictionary_encode()
+                codes = de.indices.to_numpy(zero_copy_only=False)
+                if de.indices.null_count:
+                    codes = np.where(np.isnan(codes), len(de.dictionary), codes)
+                codes = codes.astype(np.int64)
+                code_arrays.append(codes)
+                dicts.append(de.dictionary.to_pylist() + [None])
+            combined = code_arrays[0]
+            for gi in range(1, len(group_cols)):
+                combined = combined * len(dicts[gi]) + code_arrays[gi]
+            order = np.argsort(combined, kind="stable")
+            sorted_codes = combined[order]
+            starts = np.flatnonzero(np.diff(sorted_codes, prepend=sorted_codes[0] - 1)) if sorted_codes.size else np.empty(0, np.int64)
             for i, g0 in enumerate(starts):
                 g1 = starts[i + 1] if i + 1 < len(starts) else len(sorted_codes)
-                key = uniques[sorted_codes[g0]]
-                key = tuple(key) if len(group_cols) > 1 else (key,)
+                code = sorted_codes[g0]
+                key = []
+                for gi in reversed(range(len(group_cols))):
+                    code, r = divmod(code, len(dicts[gi])) if gi > 0 else (0, code)
+                    key.append(dicts[gi][int(r)])
+                key = tuple(reversed(key))
                 sk = sketches.get(key)
                 if sk is None:
                     sk = sketches[key] = factory()
@@ -134,16 +153,33 @@ def partial_sketches(
                 if valid is not None:
                     idx = idx[valid[idx]]
                 sk.update(vals_all[idx])
-        if not sketches:
-            yield pd.DataFrame({f.name: pd.Series(dtype=object) for f in schema.fields})
-            return
-        rows = []
+        cols: list[list] = [[] for _ in range(len(group_cols))]
+        states, ns, bs, cs, pids = [], [], [], [], []
         for key, sk in sketches.items():
             n, b, c = _metrics_of(sk)
-            rows.append(tuple(_null_safe(k) for k in key) + (sk.to_bytes(), n, b, c, pid))
-        yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            for gi, kv in enumerate(key):
+                cols[gi].append(kv)
+            states.append(sk.to_bytes())
+            ns.append(n)
+            bs.append(b)
+            cs.append(c)
+            pids.append(pid)
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-    return pruned.mapInPandas(build, schema=schema)
+        out_schema = to_arrow_schema(schema)
+        arrays = [
+            pa.array(cols[gi], type=out_schema.field(gi).type)
+            for gi in range(len(group_cols))
+        ] + [
+            pa.array(states, type=pa.binary()),
+            pa.array(ns, type=pa.int64()),
+            pa.array(bs, type=pa.int32()),
+            pa.array(cs, type=pa.int32()),
+            pa.array(pids, type=pa.int32()),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return pruned.mapInArrow(build, schema=schema)
 
 
 def _null_safe(k):
@@ -260,6 +296,90 @@ def quantile_table(
     )
 
 
+# --------------------------------------------------------------------------
+# JVM fill path: the UDD bucket-key function is a Catalyst expression, so the
+# whole fill stage runs as a Tungsten hash aggregation (codegen, map-side
+# partial + final) — Python only ever sees the tiny (group, key, count)
+# bucket table. This is the idiomatic-Spark equivalent of the reference's
+# per-rank fill loop (pudds.cpp:150-153) and is the scale path: per-row work
+# never leaves the JVM; shuffle moves bucket counts, not rows.
+# --------------------------------------------------------------------------
+def udds_bucket_counts(
+    df: DataFrame, value_col: str, group_cols: Sequence[str], alpha: float
+) -> DataFrame:
+    """(group..., _bkey, _bcnt): JVM-side log-bucket histogram.
+
+    _bkey NULL encodes the zero bucket (v < MIN_ADDRESSABLE, incl. 0 and
+    negatives, matching uddsketch.cpp:176-179); NaNs are dropped.
+    """
+    from ..core.uddsketch import MIN_ADDRESSABLE
+
+    gamma0 = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = float(np.log(gamma0))
+    v = F.col(value_col)
+    key = F.when(
+        v >= MIN_ADDRESSABLE, F.ceil(F.log(v) / F.lit(log_gamma)).cast("long")
+    )  # NULL -> zero bucket
+    return (
+        df.select(*group_cols, v.alias(value_col))
+        .where(~F.isnan(v.cast("double")) & v.isNotNull())
+        .groupBy(*group_cols, key.alias("_bkey"))
+        .agg(F.count(F.lit(1)).alias("_bcnt"))
+    )
+
+
+def udds_states_from_buckets(
+    buckets: DataFrame, group_cols: Sequence[str], alpha: float, m: int
+) -> DataFrame:
+    """Assemble UDDSketch states from the JVM bucket table (per group).
+
+    Input per group is <= |distinct keys| rows (a few thousand); collapse to
+    the m bound happens here, in one vectorized pass.
+    """
+    group_cols = list(group_cols)
+    out_fields = [f for f in buckets.schema.fields if f.name in group_cols]
+    schema = StructType(
+        out_fields
+        + [
+            StructField("state", BinaryType(), False),
+            StructField("n", LongType(), False),
+            StructField("buckets", IntegerType(), False),
+            StructField("collapses", IntegerType(), False),
+            StructField("num_partials", IntegerType(), False),
+        ]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["_bkey"]
+        zero = int(pdf.loc[keys.isna(), "_bcnt"].sum())
+        live = pdf.loc[keys.notna()]
+        k = live["_bkey"].to_numpy(dtype=np.int64)
+        c = live["_bcnt"].to_numpy(dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        sk = UDDSketch(
+            initial_alpha=alpha, m=m, zero_count=zero, keys=k[order], counts=c[order]
+        )
+        sk._enforce_bound()
+        key_vals = [pdf[g].iloc[0] for g in group_cols]
+        return pd.DataFrame(
+            [tuple(key_vals) + (sk.to_bytes(), sk.count, sk.num_buckets, sk.num_collapses, len(pdf))],
+            columns=[f.name for f in schema.fields],
+        )
+
+    if not group_cols:
+        raise ValueError("udds_states_from_buckets needs group_cols; "
+                         "the global path collects the bucket table directly")
+    return buckets.groupBy(*group_cols).applyInPandas(assemble, schema=schema)
+
+
+def sketch_grouped_jvm(
+    df: DataFrame, value_col: str, group_cols: Sequence[str], alpha: float, m: int
+) -> DataFrame:
+    """UDDSketch states via the JVM fill path (Tungsten hash agg fill)."""
+    b = udds_bucket_counts(df, value_col, group_cols, alpha)
+    return udds_states_from_buckets(b, group_cols, alpha, m)
+
+
 def udds_quantiles(
     df: DataFrame,
     value_col: str,
@@ -267,14 +387,43 @@ def udds_quantiles(
     qs: Iterable[float] = (0.5, 0.9, 0.99, 0.999),
     alpha: float = 0.01,
     m: int = 200,
+    engine: str = "jvm",
 ) -> DataFrame:
     """One-call UDDSketch quantile summary, grouped or global.
 
     Flagship API: p50/p90/p99/p999 of a numeric feature grouped by e.g.
     role/tool, at relative-error alpha with memory bounded by m buckets.
+
+    engine="jvm" (default): fill = Tungsten hash aggregation on the Catalyst
+    bucket-key expression; Python touches only the bucket table. Identical
+    results to engine="python" (the Arrow mapInPandas/treeReduce path, which
+    also generalizes to the non-SQL-expressible companion sketches).
+
+    Note: with m small enough to trigger collapses, the python path may
+    collapse *during* the fill (per partition), while the jvm path collapses
+    once globally — both satisfy the alpha bound, but bucket sets can differ;
+    with no collapse (m=0 or large m) the two are bit-identical.
     """
-    factory = lambda: UDDSketch(initial_alpha=alpha, m=m)  # noqa: E731
     qs = list(qs)
+    if engine == "jvm":
+        if group_cols:
+            merged = sketch_grouped_jvm(df, value_col, group_cols, alpha, m)
+            return quantile_table(merged, group_cols, qs, UDDSketch.from_bytes)
+        buckets = udds_bucket_counts(df, value_col, (), alpha).collect()
+        zero = sum(r["_bcnt"] for r in buckets if r["_bkey"] is None)
+        live = sorted((r["_bkey"], r["_bcnt"]) for r in buckets if r["_bkey"] is not None)
+        sk = UDDSketch(
+            initial_alpha=alpha,
+            m=m,
+            zero_count=int(zero),
+            keys=np.array([k for k, _ in live], dtype=np.int64),
+            counts=np.array([c for _, c in live], dtype=np.int64),
+        )
+        sk._enforce_bound()
+        return df.sparkSession.createDataFrame(
+            [(float(q), float(sk.quantile(q))) for q in qs], schema="q double, est double"
+        )
+    factory = lambda: UDDSketch(initial_alpha=alpha, m=m)  # noqa: E731
     if group_cols:
         merged = sketch_grouped(df, value_col, group_cols, factory, UDDSketch.from_bytes)
         return quantile_table(merged, group_cols, qs, UDDSketch.from_bytes)

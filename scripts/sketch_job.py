@@ -1,0 +1,116 @@
+"""spark-submit entry point: distributed sketch job over a transcript table.
+
+Usage (cluster):
+    spark-submit --py-files puddsketch_spark.zip scripts/sketch_job.py \
+        --input s3://bucket/transcripts --feature text_len \
+        --group-by role tool --quantiles 0.5 0.9 0.99 0.999 \
+        --alpha 0.01 --max-buckets 200 --engine jvm \
+        --checkpoint s3://bucket/ckpt/run1 --output s3://bucket/out/run1
+
+Usage (local smoke):
+    python scripts/sketch_job.py --generate 1000000 --feature text_len --group-by role
+
+The reference's CLI (alpha, m, distribution, seed — psketches/pudds.cpp:59-116)
+maps onto --alpha/--max-buckets/--generate/--seed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="puddsketch_spark distributed sketch job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet/iceberg path of the transcript table")
+    src.add_argument("--generate", type=int, help="generate N synthetic turns instead")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--feature", default="text_len",
+                   choices=["text_len", "latency_s"],
+                   help="per-turn numeric feature to sketch")
+    p.add_argument("--group-by", nargs="*", default=["role"])
+    p.add_argument("--quantiles", nargs="*", type=float, default=[0.5, 0.9, 0.99, 0.999])
+    p.add_argument("--alpha", type=float, default=0.01)
+    p.add_argument("--max-buckets", type=int, default=200)
+    p.add_argument("--engine", choices=["jvm", "arrow"], default="jvm")
+    p.add_argument("--sketch", choices=["udds", "kll", "tdigest"], default="udds")
+    p.add_argument("--salt-buckets", type=int, default=0,
+                   help=">0: salted repartition on conv_id before sketching")
+    p.add_argument("--checkpoint", help="dir for resumable per-partition state (arrow engine)")
+    p.add_argument("--output", help="parquet dir for the quantile table (default: stdout)")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from puddsketch_spark.core import KLLSketch, TDigest, UDDSketch
+    from puddsketch_spark.datagen import transcripts
+    from puddsketch_spark.spark.agg import (
+        merge_grouped,
+        quantile_table,
+        sketch_grouped,
+        sketch_grouped_jvm,
+        udds_quantiles,
+    )
+    from puddsketch_spark.spark.features import with_inter_turn_latency, with_text_len
+    from puddsketch_spark.spark.session import get_spark
+    from puddsketch_spark.spark.skew import salted_repartition
+
+    spark = get_spark(app_name="sketch_job", master=args.master)
+    t0 = time.time()
+    if args.generate:
+        df = transcripts(spark, n_conv=max(1, args.generate // 8), seed=args.seed)
+    else:
+        df = spark.read.parquet(args.input)
+    if args.feature == "text_len":
+        df = with_text_len(df) if "text" in df.columns else df
+    else:
+        df = with_inter_turn_latency(df).where("latency_s is not null")
+    if args.salt_buckets > 0:
+        df = salted_repartition(df, ["conv_id"], ["turn_idx", "ts"],
+                                spark.sparkContext.defaultParallelism * 2,
+                                args.salt_buckets)
+
+    group = list(args.group_by)
+    if args.sketch == "udds":
+        if args.engine == "jvm" and group:
+            merged = sketch_grouped_jvm(df, args.feature, group, args.alpha, args.max_buckets)
+            out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
+        else:
+            out = udds_quantiles(df, args.feature, group, args.quantiles,
+                                 args.alpha, args.max_buckets,
+                                 engine="jvm" if args.engine == "jvm" else "python")
+    else:
+        factory = (lambda: KLLSketch(k=200)) if args.sketch == "kll" else (lambda: TDigest())
+        from_bytes = KLLSketch.from_bytes if args.sketch == "kll" else TDigest.from_bytes
+        if args.checkpoint:
+            from puddsketch_spark.spark.checkpoint import checkpointed_sketch_grouped
+
+            merged = checkpointed_sketch_grouped(
+                spark, df, args.feature, group, args.checkpoint, factory, from_bytes)
+        else:
+            merged = sketch_grouped(df, args.feature, group, factory, from_bytes)
+        out = quantile_table(merged, group, args.quantiles, from_bytes)
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        rows = out.collect()
+        n = len(rows)
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"rows": n, "wall_sec": round(time.time() - t0, 2)}), file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

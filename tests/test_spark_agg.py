@@ -156,6 +156,32 @@ def test_checkpoint_resume_equals_uninterrupted(spark, tdf, tmp_path):
     assert a.same_buckets(b)
 
 
+def test_jvm_engine_bit_parity(spark, tdf):
+    """JVM Tungsten fill vs Arrow/numpy fill: identical estimates (m=0)."""
+    a = {
+        (r.role, r.q): r.est
+        for r in udds_quantiles(tdf, "text_len", ["role"], [0.5, 0.9, 0.99],
+                                alpha=0.005, m=0, engine="jvm").collect()
+    }
+    b = {
+        (r.role, r.q): r.est
+        for r in udds_quantiles(tdf, "text_len", ["role"], [0.5, 0.9, 0.99],
+                                alpha=0.005, m=0, engine="python").collect()
+    }
+    assert a == b
+
+
+def test_jvm_engine_zero_bucket_and_global(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (-5.0,), (1.0,), (2.0,), (float("nan"),)], "v double"
+    )
+    out = {r.q: r.est for r in
+           udds_quantiles(df, "v", (), [0.0, 0.5, 1.0], alpha=0.01, m=0, engine="jvm").collect()}
+    # population 4 (NaN dropped): {zero, zero, ~1, ~2}
+    assert out[0.0] == 0.0
+    assert out[1.0] == pytest.approx(2.0, rel=0.02)
+
+
 def test_resume_noop_when_complete(spark, tdf, tmp_path):
     path = str(tmp_path / "ckpt2")
     first = resume_partials(spark, tdf, "text_len", [], path, _factory)

@@ -1,0 +1,79 @@
+"""Structured Streaming sketch operator: incremental state across micro-batches
+equals the batch result, via the rate-free memory-source test pattern."""
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from puddsketch_spark.core import UDDSketch
+from puddsketch_spark.streaming import streaming_udds_quantiles
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    # two micro-batches of transcript-ish rows into a file stream
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(0)
+    rows1 = [("user" if i % 2 else "assistant", float(v))
+             for i, v in enumerate(rng.uniform(1, 1000, 4000))]
+    rows2 = [("user" if i % 3 else "assistant", float(v))
+             for i, v in enumerate(rng.uniform(1, 1000, 4000))]
+    spark.createDataFrame(rows1, "role string, text_len double").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    stream = spark.readStream.schema("role string, text_len double").parquet(src)
+    out = streaming_udds_quantiles(stream, "text_len", ["role"], qs=[0.5, 0.99],
+                                   alpha=0.01, m=200)
+    q = (out.writeStream.format("memory").queryName("sketch_out")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "role string, text_len double").coalesce(1).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        res = {r.role: r for r in spark.sql(
+            "select * from sketch_out").orderBy(F.desc("n")).dropDuplicates(["role"]).collect()}
+    finally:
+        q.stop()
+
+    # batch oracle over ALL rows with the same kernel
+    all_rows = rows1 + rows2
+    for role in ("user", "assistant"):
+        vals = np.array([v for r, v in all_rows if r == role])
+        sk = UDDSketch(initial_alpha=0.01, m=200).update(vals)
+        got = res[role]
+        assert got.n == len(vals)
+        assert got.p0_5 == pytest.approx(sk.quantile(0.5))
+        assert got.p0_99 == pytest.approx(sk.quantile(0.99))
+
+
+def test_update_fn_standalone_state_roundtrip():
+    """The state-update closure is pure enough to unit-test without a stream."""
+    from puddsketch_spark.streaming import udds_state_update
+
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    fn = udds_state_update(["role"], "text_len", [0.5], alpha=0.01, m=200)
+    st = FakeState()
+    rng = np.random.default_rng(1)
+    out1 = list(fn(("user",), iter([pd.DataFrame({"text_len": rng.uniform(1, 100, 1000)})]), st))
+    assert out1[0]["n"].iloc[0] == 1000
+    out2 = list(fn(("user",), iter([pd.DataFrame({"text_len": rng.uniform(1, 100, 500)})]), st))
+    assert out2[0]["n"].iloc[0] == 1500  # state carried across invocations
