@@ -158,6 +158,54 @@ LIMIT 10
 """
 
 
+def _top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function coverage: rank per partition, deterministic ties."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+_TOP2_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 2
+"""
+
+
+def _set_ops_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: intersect / except / union on part types."""
+    p = _t(spark, sf_dir, "part")
+    big = p.where(F.col("p_size") >= 25).select("p_type").distinct()
+    small = p.where(F.col("p_size") < 25).select("p_type").distinct()
+    both = big.intersect(small).withColumn("bucket", F.lit("both"))
+    only_big = big.exceptAll(small).withColumn("bucket", F.lit("only_big"))
+    return both.union(only_big).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_types"))
+
+
+_SETOP_SQL = """
+WITH big AS (SELECT DISTINCT p_type FROM part WHERE p_size >= 25),
+     small AS (SELECT DISTINCT p_type FROM part WHERE p_size < 25),
+     labeled AS (
+       SELECT 'both' AS bucket, p_type FROM (SELECT p_type FROM big INTERSECT SELECT p_type FROM small)
+       UNION ALL
+       SELECT 'only_big', p_type FROM (SELECT p_type FROM big EXCEPT SELECT p_type FROM small)
+     )
+SELECT bucket, COUNT(*) AS n_types FROM labeled GROUP BY bucket
+"""
+
+
 def _events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -602,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": _q3_top_revenue_orders,
         "events_type_stats": _events_type_stats,
         "events_gap_quantile": _events_gap_quantile,
+        "top2_orders_per_customer": _top2_orders_per_customer,
+        "set_ops_part_types": _set_ops_part_types,
         "dedup_exact_documents": _dedup_exact_documents,
         "doc_token_stats": _doc_token_stats,
         "hll_users_by_type": _hll_users_by_type,
@@ -628,6 +678,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_revenue_orders": _Q3_SQL,
         "events_type_stats": _EVENTS_SQL,
         "events_gap_quantile": _GAP_SQL,
+        "top2_orders_per_customer": _TOP2_SQL,
+        "set_ops_part_types": _SETOP_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
         "hll_users_by_type": _HLL_SQL,

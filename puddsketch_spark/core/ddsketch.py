@@ -26,7 +26,12 @@ from .uddsketch import MIN_ADDRESSABLE, _ceil_div
 __all__ = ["DDSketchPair"]
 
 _EMPTY = np.empty(0, dtype=np.int64)
-_HEADER_FMT = "<ddiiqqq"  # init_alpha, alpha, m, collapses, zero, n_pos, n_neg
+# init_alpha, alpha, m, collapses, zero, n_pos, n_neg, mode, pair_collapses,
+# fence_neg, fence_pos (fence sentinel: _NOFENCE = None)
+_HEADER_FMT = "<ddiiqqqiiqq"
+_NOFENCE = -(2**62)
+_MODES = {"uniform": 0, "ddog_low": 1}
+_MODES_INV = {v: k for k, v in _MODES.items()}
 
 
 def _absorb(keys: np.ndarray, counts: np.ndarray, k2: np.ndarray, c2: np.ndarray):
@@ -60,6 +65,15 @@ class DDSketchPair:
     pos_counts: np.ndarray = field(default_factory=lambda: _EMPTY.copy())
     neg_keys: np.ndarray = field(default_factory=lambda: _EMPTY.copy())
     neg_counts: np.ndarray = field(default_factory=lambda: _EMPTY.copy())
+    # "uniform" = UDD-flavor collapse (gamma widens, error bound alpha' grows)
+    # "ddog_low" = DataDog-original LowBins pair collapse (MapSketch.cc:87-247):
+    #   gamma fixed; excess bins fold pairwise from the low end of the value
+    #   axis (highest-|key| negative bins first, then lowest positive bins),
+    #   fencing keys track where estimates stop being alpha-accurate
+    collapse_mode: str = "uniform"
+    pair_collapses: int = 0
+    fence_neg: int | None = None
+    fence_pos: int | None = None
 
     @property
     def gamma0(self) -> float:
@@ -114,8 +128,43 @@ class DDSketchPair:
         return self
 
     def _enforce_bound(self) -> None:
+        if self.collapse_mode == "ddog_low":
+            self._ddog_low_collapse()
+            return
         while self.m > 0 and self.num_buckets > self.m:
             self.collapse(1)
+
+    def _ddog_low_collapse(self) -> None:
+        """Batch-exact equivalent of the reference's sequential LowBins pair
+        collapse (MapSketch.cc:87-247): while over bound, fold the highest-key
+        negative bin into its neighbor (= lowest VALUES merge upward); once
+        the negative store is down to <=1 bin, fold the lowest-key positive
+        bins. B* (our zero_count) is never touched."""
+        if self.m <= 0:
+            return
+        excess = self.num_buckets - self.m
+        if excess <= 0:
+            return
+        # negative store: can give up (sizen - 1) bins
+        give_n = min(excess, max(self.neg_keys.size - 1, 0))
+        if give_n > 0:
+            keep = self.neg_keys.size - give_n
+            # counts of the top give_n keys fold into the new top bin (index keep-1)
+            folded = int(self.neg_counts[keep - 1 :].sum())
+            self.neg_keys = self.neg_keys[:keep]
+            self.neg_counts = self.neg_counts[:keep].copy()
+            self.neg_counts[-1] = folded
+            self.fence_neg = int(self.neg_keys[-1])
+            self.pair_collapses += give_n
+            excess -= give_n
+        if excess > 0 and self.pos_keys.size > 1:
+            give_p = min(excess, self.pos_keys.size - 1)
+            folded = int(self.pos_counts[: give_p + 1].sum())
+            self.pos_keys = self.pos_keys[give_p:]
+            self.pos_counts = self.pos_counts[give_p:].copy()
+            self.pos_counts[0] = folded
+            self.fence_pos = int(self.pos_keys[0])
+            self.pair_collapses += give_p
 
     def collapse(self, n: int = 1) -> "DDSketchPair":
         """Uniform collapse of BOTH stores; B* is exempt (MapSketch.cc:43-83)."""
@@ -130,6 +179,14 @@ class DDSketchPair:
     def merge(self, other: "DDSketchPair") -> "DDSketchPair":
         if self.initial_alpha != other.initial_alpha:
             raise ValueError("Merging sketches have incompatible alpha values")
+        if self.collapse_mode != other.collapse_mode:
+            raise ValueError("Merging sketches have incompatible collapse modes")
+        self.pair_collapses += other.pair_collapses
+        for attr in ("fence_neg", "fence_pos"):
+            o = getattr(other, attr)
+            s = getattr(self, attr)
+            if o is not None:
+                setattr(self, attr, o if s is None else max(s, o))
         a, b = self, other
         if a.num_collapses < b.num_collapses:
             a = a.copy().collapse(b.num_collapses - a.num_collapses)
@@ -193,6 +250,10 @@ class DDSketchPair:
             self.zero_count,
             self.pos_keys.size,
             self.neg_keys.size,
+            _MODES[self.collapse_mode],
+            self.pair_collapses,
+            _NOFENCE if self.fence_neg is None else self.fence_neg,
+            _NOFENCE if self.fence_pos is None else self.fence_pos,
         )
         parts = [head]
         for arr in (self.pos_keys, self.pos_counts, self.neg_keys, self.neg_counts):
@@ -202,7 +263,8 @@ class DDSketchPair:
     @classmethod
     def from_bytes(cls, data: bytes) -> "DDSketchPair":
         data = bytes(data)
-        init_alpha, _alpha, m, c, zero, n_pos, n_neg = struct.unpack_from(_HEADER_FMT, data, 0)
+        (init_alpha, _alpha, m, c, zero, n_pos, n_neg,
+         mode, pairc, fneg, fpos) = struct.unpack_from(_HEADER_FMT, data, 0)
         off = struct.calcsize(_HEADER_FMT)
 
         def take(n):
@@ -220,6 +282,10 @@ class DDSketchPair:
             pos_counts=take(n_pos),
             neg_keys=take(n_neg),
             neg_counts=take(n_neg),
+            collapse_mode=_MODES_INV[mode],
+            pair_collapses=pairc,
+            fence_neg=None if fneg == _NOFENCE else fneg,
+            fence_pos=None if fpos == _NOFENCE else fpos,
         )
 
     def same_buckets(self, other: "DDSketchPair") -> bool:

@@ -122,6 +122,38 @@ class UDDSketch:
             self._enforce_bound()
         return self
 
+    def remove(self, values) -> int:
+        """Batch deletion support (uddsketch.cpp:189-208): decrement the
+        matching bucket / zero bucket, erase emptied buckets. Returns the
+        number of values that could NOT be removed (absent bucket or empty
+        count — the reference returns 1 per such item). Note: like the
+        reference, deletion is lossy once collapses have changed resolution.
+        """
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        failed = 0
+        small = v < MIN_ADDRESSABLE
+        n_small = int(small.sum())
+        take = min(n_small, self.zero_count)
+        self.zero_count -= take
+        failed += n_small - take
+        v = v[~small]
+        if v.size:
+            bkeys = np.ceil(np.log(v) / self.log_gamma).astype(np.int64)
+            ukeys, ucounts = np.unique(bkeys, return_counts=True)
+            idx = np.searchsorted(self.keys, ukeys)
+            for k, want, i in zip(ukeys, ucounts, idx):
+                if i < self.keys.size and self.keys[i] == k:
+                    got = min(int(want), int(self.counts[i]))
+                    self.counts[i] -= got
+                    failed += int(want) - got
+                else:
+                    failed += int(want)
+            live = self.counts > 0
+            if not live.all():
+                self.keys, self.counts = self.keys[live], self.counts[live]
+        return failed
+
     def _absorb(self, ukeys: np.ndarray, ucounts: np.ndarray) -> None:
         """Merge a sorted (key,count) run into the sorted store."""
         if self.keys.size == 0:

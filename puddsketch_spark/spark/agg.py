@@ -380,6 +380,48 @@ def sketch_grouped_jvm(
     return udds_states_from_buckets(b, group_cols, alpha, m)
 
 
+def udds_quantile_table_jvm(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    alpha: float,
+    m: int,
+) -> DataFrame:
+    """Fused JVM path: bucket histogram (Tungsten) -> ONE applyInPandas stage
+    assembling the sketch AND finalizing quantiles — a single Python stage
+    over the tiny bucket table (half the Python round-trips of
+    sketch_grouped_jvm + quantile_table; same results)."""
+    group_cols = list(group_cols)
+    qs = [float(q) for q in qs]
+    buckets = udds_bucket_counts(df, value_col, group_cols, alpha)
+    out_fields = [f for f in buckets.schema.fields if f.name in group_cols]
+    schema = StructType(
+        out_fields
+        + [
+            StructField("q", DoubleType(), False),
+            StructField("est", DoubleType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["_bkey"]
+        zero = int(pdf.loc[keys.isna(), "_bcnt"].sum())
+        live = pdf.loc[keys.notna()]
+        k = live["_bkey"].to_numpy(dtype=np.int64)
+        c = live["_bcnt"].to_numpy(dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        sk = UDDSketch(initial_alpha=alpha, m=m, zero_count=zero,
+                       keys=k[order], counts=c[order])
+        sk._enforce_bound()
+        key_vals = tuple(pdf[g].iloc[0] for g in group_cols)
+        rows = [key_vals + (q, float(sk.quantile(q)), sk.count) for q in qs]
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return buckets.groupBy(*group_cols).applyInPandas(finalize, schema=schema)
+
+
 def udds_quantiles(
     df: DataFrame,
     value_col: str,

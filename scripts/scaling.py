@@ -44,17 +44,23 @@ from puddsketch_spark.spark.session import get_spark
 spark = get_spark(app_name="scaling[%d,%s]" % (cpus, engine), master="local[%d]" % cpus,
                   shuffle_partitions=cpus,
                   extra_conf={"spark.sql.files.maxPartitionBytes": str(4 << 20),
-                              "spark.sql.files.openCostInBytes": "0"})
+                              "spark.sql.files.openCostInBytes": "0",
+                              # tiny blob shuffles gain nothing from AQE
+                              # re-planning; its stage barrier only adds to
+                              # the serial tail at this job size
+                              "spark.sql.adaptive.enabled": "false"})
 df = spark.read.parquet(data).select("role", "text_len")
 n = df.count()  # warm page cache + JVM
 
 def job():
     if engine == "jvm":
-        merged = sketch_grouped_jvm(df, "text_len", ["role"], 0.01, 200)
-    else:
-        merged = sketch_grouped(df, "text_len", ["role"],
-                                lambda: UDDSketch(initial_alpha=0.01, m=200),
-                                UDDSketch.from_bytes)
+        from puddsketch_spark.spark.agg import udds_quantile_table_jvm
+
+        return udds_quantile_table_jvm(df, "text_len", ["role"],
+                                       [0.5, 0.9, 0.99, 0.999], 0.01, 200).collect()
+    merged = sketch_grouped(df, "text_len", ["role"],
+                            lambda: UDDSketch(initial_alpha=0.01, m=200),
+                            UDDSketch.from_bytes)
     return quantile_table(merged, ["role"], [0.5, 0.9, 0.99, 0.999],
                           UDDSketch.from_bytes).collect()
 

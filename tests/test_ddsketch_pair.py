@@ -68,6 +68,49 @@ def test_merge_alpha_mismatch_raises():
         DDSketchPair(0.01).merge(DDSketchPair(0.02))
 
 
+def test_ddog_low_collapse_bound_and_fences():
+    """DataDog-original LowBins collapse: gamma fixed, excess bins fold from
+    the low end of the value axis, fences mark where accuracy starts.
+    (Reference tracks the accurate quantile range [q0B, q1B] for the same
+    reason: ParallelSketcher.cc:920-1028.)"""
+    rng = np.random.default_rng(7)
+    v = np.concatenate([rng.lognormal(2, 2, 20_000), -rng.lognormal(2, 2, 20_000)])
+    sk = DDSketchPair(initial_alpha=0.01, m=64, collapse_mode="ddog_low").update(v)
+    assert sk.num_buckets <= 64
+    assert sk.count == 40_000
+    assert sk.num_collapses == 0  # resolution unchanged
+    assert sk.alpha == pytest.approx(0.01)
+    assert sk.pair_collapses > 0
+    assert sk.fence_neg is not None  # negative store gave bins first (LowBins)
+    # accuracy holds exactly for values ABOVE the positive fence
+    fence_value = sk.gamma ** sk.fence_pos if sk.fence_pos is not None else -np.inf
+    for q in [0.7, 0.9, 0.99, 0.999]:
+        exact = exact_quantile(v, q)
+        if exact > fence_value:
+            est = sk.quantile(q)
+            assert abs(est - exact) <= sk.alpha * abs(exact) + 1e-9, (q, est, exact)
+    # the top decile of a lognormal must be above any reasonable fence here
+    assert exact_quantile(v, 0.999) > fence_value
+
+
+def test_ddog_merge_commutative_and_serde():
+    rng = np.random.default_rng(8)
+    a = DDSketchPair(0.01, m=100, collapse_mode="ddog_low").update(rng.normal(-10, 30, 20_000))
+    b = DDSketchPair(0.01, m=100, collapse_mode="ddog_low").update(rng.normal(10, 30, 20_000))
+    ab = DDSketchPair.from_bytes(a.to_bytes()).merge(b.copy())
+    ba = DDSketchPair.from_bytes(b.to_bytes()).merge(a.copy())
+    assert ab.count == ba.count == 40_000
+    assert ab.num_buckets <= 100 and ba.num_buckets <= 100
+    rt = DDSketchPair.from_bytes(ab.to_bytes())
+    assert rt.same_buckets(ab) and rt.collapse_mode == "ddog_low"
+    assert rt.pair_collapses == ab.pair_collapses and rt.fence_neg == ab.fence_neg
+
+
+def test_ddog_mode_mismatch_raises():
+    with pytest.raises(ValueError, match="collapse modes"):
+        DDSketchPair(0.01).merge(DDSketchPair(0.01, collapse_mode="ddog_low"))
+
+
 def test_mixed_resolution_merge():
     rng = np.random.default_rng(6)
     fine = DDSketchPair(0.01, m=0).update(rng.normal(0, 10, 5_000))

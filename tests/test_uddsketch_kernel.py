@@ -85,6 +85,26 @@ def test_m_bound_enforced():
     assert s.count == 5000
 
 
+# ---------------------------------------------------------------- remove
+def test_remove_batch():
+    """Deletion support (uddsketch.cpp:189-208): decrement, erase empties,
+    report failures."""
+    s = UDDSketch(initial_alpha=0.01, m=0)
+    s.update(np.array([5.0, 5.0, 7.0, 0.0]))
+    assert s.count == 4 and s.zero_count == 1
+    assert s.remove(np.array([5.0])) == 0
+    assert s.count == 3
+    # removing a value whose bucket is absent fails
+    assert s.remove(np.array([1e9])) == 1
+    # removing more than present: one success, one failure
+    assert s.remove(np.array([7.0, 7.0])) == 1
+    assert 7.0 not in [s.bucket_value(int(k)) for k in s.keys] or s.keys.size == 1
+    # zero bucket decrements, then fails when empty
+    assert s.remove(np.array([0.0])) == 0
+    assert s.remove(np.array([0.0])) == 1
+    assert s.count == 1  # only one 5.0 left
+
+
 # ---------------------------------------------------------------- merge
 def test_merge_population_conservation_and_commutativity():
     rng = np.random.default_rng(2)
