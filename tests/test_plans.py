@@ -1,0 +1,81 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, asserted.
+
+These tests pin the scale-critical plan properties: filter/column pushdown
+reaching the parquet scan, broadcast joins for small dims, Tungsten partial
+aggregation for the JVM sketch fill, and no raw-row shuffle in the sketch
+pipeline.
+"""
+
+import __spark_entry__ as entry
+from puddsketch_spark.spark.agg import udds_bucket_counts
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    df = entry.queries()["q1_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # only the needed columns reach the scan
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_quantity" in read and "l_orderkey" not in read
+
+
+def test_q3_uses_broadcast_joins(spark):
+    df = entry.queries()["q3_top_revenue_orders"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k compiles to TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jvm_fill_is_tungsten_partial_agg(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    b = udds_bucket_counts(li, "l_extendedprice", ["l_returnflag"], 0.01)
+    plan = _plan(b)
+    # two-phase hash aggregation: map-side partial + final after shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan  # map-side combine before the exchange
+    # the bucket-key expression is a Catalyst CASE/CEIL/ln projection
+    assert "CEIL" in plan and "ln(" in plan
+    # no Python eval anywhere in the fill
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan and "FlatMap" not in plan
+    # value column pruned + null filter pushed to the scan
+    assert "PushedFilters: [IsNotNull(l_extendedprice)]" in plan
+
+
+def test_arrow_pipeline_shuffles_blobs_not_rows(spark):
+    """The keyed merge exchanges hash-partitioned partials (blobs), and the
+    pre-shuffle stage output schema is the partial-sketch schema, not raw rows."""
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import partial_sketches, merge_grouped
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    partials = partial_sketches(li, "l_extendedprice", ["l_returnflag"], UDDSketch)
+    merged = merge_grouped(partials, ["l_returnflag"], UDDSketch.from_bytes)
+    plan = _plan(merged)
+    assert "hashpartitioning(l_returnflag" in plan
+    # the exchange input is the partial-sketch schema (state blobs), not rows:
+    # the Exchange node's Input must carry the state column
+    exchange_detail = plan.split(") Exchange")[1]
+    assert "state" in exchange_detail.split("Arguments")[0]
+
+
+def test_cosine_topk_is_take_ordered(spark):
+    from puddsketch_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.first().embedding
+    plan = _plan(cosine_topk(emb, q, k=5))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort

@@ -1,0 +1,78 @@
+"""REQ-style sketch: high-rank accuracy sharper than uniform, mergeable."""
+
+import numpy as np
+import pytest
+
+from puddsketch_spark.core.req import REQSketch
+from puddsketch_spark.sources import TRANSCRIPT_SCHEMA, read_transcripts
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_req_high_rank_accuracy(seed):
+    rng = np.random.default_rng(seed)
+    n = 200_000
+    v = rng.lognormal(5, 1, n)
+    sk = REQSketch(k=64)
+    for chunk in np.array_split(v, 20):
+        sk.update(chunk)
+    assert sk.n == n
+    sv = np.sort(v)
+    for q in [0.9, 0.99, 0.999, 0.9999]:
+        est = sk.quantile(q)
+        r = np.searchsorted(sv, est) / n
+        # HRA: rank error shrinks with (1-q)
+        assert abs(r - q) <= 0.35 * (1 - q) + 2e-5, (q, r)
+    # top retained items are exact: the max is always exact
+    assert sk.quantile(1.0) == sv[-1]
+
+
+def test_req_beats_kll_at_extreme_tail():
+    from puddsketch_spark.core import KLLSketch
+
+    rng = np.random.default_rng(2)
+    v = rng.exponential(10, 300_000)
+    req = REQSketch(k=64).update(v)
+    kll = KLLSketch(k=512).update(v)
+    # REQ spends ~2x the items of KLL(512) and buys ~20x sharper p9995
+    assert req.num_buckets <= 2.5 * kll.num_buckets
+    sv = np.sort(v)
+    q = 0.9995
+    r_req = abs(np.searchsorted(sv, req.quantile(q)) / len(v) - q)
+    r_kll = abs(np.searchsorted(sv, kll.quantile(q)) / len(v) - q)
+    assert r_req <= r_kll + 1e-6
+
+
+def test_req_merge_and_serde():
+    rng = np.random.default_rng(3)
+    parts = [REQSketch(k=64).update(rng.uniform(0, 1, 50_000)) for _ in range(4)]
+    merged = REQSketch.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == 200_000
+    for q in [0.9, 0.99]:
+        assert abs(merged.quantile(q) - q) <= 0.05 * (1 - q) + 0.005
+    rt = REQSketch.from_bytes(merged.to_bytes())
+    assert rt.same_buckets(merged) and rt.n == merged.n
+
+
+def test_req_param_mismatch():
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        REQSketch(k=32).merge(REQSketch(k=64))
+
+
+# ---------------------------------------------------------------- sources
+def test_read_transcripts_parquet_fallback(spark, tmp_path):
+    from puddsketch_spark.datagen import transcripts
+
+    path = str(tmp_path / "t")
+    transcripts(spark, n_conv=20, seed=1).write.parquet(path)
+    df = read_transcripts(spark, path)  # auto -> parquet (no iceberg jar here)
+    assert set(f.name for f in TRANSCRIPT_SCHEMA.fields) <= set(df.columns)
+    assert df.count() > 0
+
+
+def test_read_transcripts_schema_validation(spark, tmp_path):
+    path = str(tmp_path / "bad")
+    spark.range(5).write.parquet(path)
+    with pytest.raises(ValueError, match="missing columns"):
+        read_transcripts(spark, path)
