@@ -354,8 +354,16 @@ def _rank_check(spark: SparkSession, sf_dir: str, kind: str, tol: float) -> Data
     from puddsketch_spark.spark.sketches import kll_quantiles, tdigest_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    fn = kll_quantiles if kind == "kll" else tdigest_quantiles
-    ests = {r.q: r.est for r in fn(li, "l_extendedprice", (), _QS).collect()}
+    if kind == "req":
+        from puddsketch_spark.core import REQSketch
+        from puddsketch_spark.spark.agg import sketch_global
+
+        sk = sketch_global(li, "l_extendedprice", lambda: REQSketch(k=64),
+                           REQSketch.from_bytes)
+        ests = {q: sk.quantile(q) for q in _QS}
+    else:
+        fn = kll_quantiles if kind == "kll" else tdigest_quantiles
+        ests = {r.q: r.est for r in fn(li, "l_extendedprice", (), _QS).collect()}
     checks = [
         F.avg((F.col("l_extendedprice") <= F.lit(ests[q])).cast("double")).alias(f"r{i}")
         for i, q in enumerate(_QS)
@@ -373,6 +381,11 @@ def _kll_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tdigest_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_check(spark, sf_dir, "tdigest", tol=0.02)
+
+
+def _req_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HRA: tolerance scales with (1-q); 0.35*(1-q) + slack at n=60k
+    return _rank_check(spark, sf_dir, "req", tol=0.01)
 
 
 _RANK_SQL = """
@@ -659,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_custkeys": _bloom_custkeys,
         "kll_price_rank": _kll_price_rank,
         "tdigest_price_rank": _tdigest_price_rank,
+        "req_price_rank": _req_price_rank,
         "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
@@ -687,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_custkeys": _BLOOM_SQL,
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
+        "req_price_rank": _RANK_SQL,
         "ddsketch_signed_quantiles": _DD_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,

@@ -75,6 +75,22 @@ class TDigest:
         self.total += float(v.size)
         return self
 
+    def update_weighted(self, values, counts) -> "TDigest":
+        """Absorb pre-aggregated (value, count) pairs (JVM pre-agg path)."""
+        v = np.asarray(values, dtype=np.float64)
+        c = np.asarray(counts, dtype=np.float64)
+        ok = ~np.isnan(v) & (c > 0)
+        v, c = v[ok], c[ok]
+        if v.size == 0:
+            return self
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        m = np.concatenate([self.means, v])
+        w = np.concatenate([self.weights, c])
+        self.means, self.weights = _compress(m, w, self.delta)
+        self.total += float(c.sum())
+        return self
+
     def merge(self, other: "TDigest") -> "TDigest":
         if self.delta != other.delta:
             raise ValueError("t-digest delta mismatch")

@@ -122,6 +122,29 @@ class UDDSketch:
             self._enforce_bound()
         return self
 
+    def update_weighted(self, values, counts) -> "UDDSketch":
+        """Absorb pre-aggregated (value, count) pairs — the JVM pre-agg path:
+        ``df.groupBy(value).count()`` runs in Tungsten, the kernel only sees
+        distinct values. Equivalent to ``update`` repeating each value
+        count times."""
+        v = np.asarray(values, dtype=np.float64)
+        c = np.asarray(counts, dtype=np.int64)
+        ok = ~np.isnan(v)
+        v, c = v[ok], c[ok]
+        if v.size == 0:
+            return self
+        small = v < MIN_ADDRESSABLE
+        self.zero_count += int(c[small].sum())
+        v, c = v[~small], c[~small]
+        if v.size:
+            bkeys = np.ceil(np.log(v) / self.log_gamma).astype(np.int64)
+            ukeys, inv = np.unique(bkeys, return_inverse=True)
+            ucounts = np.zeros(ukeys.size, dtype=np.int64)
+            np.add.at(ucounts, inv, c)
+            self._absorb(ukeys, ucounts)
+            self._enforce_bound()
+        return self
+
     def remove(self, values) -> int:
         """Batch deletion support (uddsketch.cpp:189-208): decrement the
         matching bucket / zero bucket, erase emptied buckets. Returns the

@@ -1,0 +1,106 @@
+"""Hypothesis property tests: the merge algebra that distributed correctness
+rests on (commutativity, associativity, population conservation, weighted ==
+repeated), over generated inputs rather than fixed seeds."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from puddsketch_spark.core import (
+    CountMinSketch,
+    DDSketchPair,
+    HLLSketch,
+    KLLSketch,
+    TDigest,
+    UDDSketch,
+)
+
+finite_pos = st.floats(min_value=1e-6, max_value=1e12, allow_nan=False)
+finite_any = st.floats(min_value=-1e12, max_value=1e12, allow_nan=False)
+arr_pos = st.lists(finite_pos, min_size=0, max_size=300).map(np.array)
+arr_any = st.lists(finite_any, min_size=0, max_size=300).map(np.array)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=arr_pos, b=arr_pos, m=st.sampled_from([0, 8, 64]))
+def test_udd_merge_commutative_bucketwise(a, b, m):
+    sa = UDDSketch(0.01, m=m).update(a)
+    sb = UDDSketch(0.01, m=m).update(b)
+    ab = sa.copy().merge(sb.copy())
+    ba = sb.copy().merge(sa.copy())
+    assert ab.same_buckets(ba)
+    assert ab.count == len(a) + len(b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=arr_pos, b=arr_pos, c=arr_pos)
+def test_udd_merge_associative(a, b, c):
+    ss = [UDDSketch(0.01, m=32).update(x) for x in (a, b, c)]
+    left = ss[0].copy().merge(ss[1].copy()).merge(ss[2].copy())
+    right = ss[0].copy().merge(ss[1].copy().merge(ss[2].copy()))
+    assert left.same_buckets(right)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(finite_pos, min_size=1, max_size=100))
+def test_udd_weighted_equals_repeated(vals):
+    v = np.array(sorted(set(vals)))
+    counts = np.arange(1, v.size + 1, dtype=np.int64)
+    w = UDDSketch(0.01, m=0).update_weighted(v, counts)
+    r = UDDSketch(0.01, m=0).update(np.repeat(v, counts))
+    assert w.same_buckets(r)
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=arr_any, b=arr_any, mode=st.sampled_from(["uniform", "ddog_low"]))
+def test_ddsketch_merge_population(a, b, mode):
+    sa = DDSketchPair(0.01, m=32, collapse_mode=mode).update(a)
+    sb = DDSketchPair(0.01, m=32, collapse_mode=mode).update(b)
+    merged = sa.copy().merge(sb.copy())
+    assert merged.count == len(a) + len(b)
+    assert merged.m == 0 or merged.num_buckets <= 32 or merged.num_buckets <= 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=st.lists(st.text(min_size=1, max_size=12), max_size=200),
+       b=st.lists(st.text(min_size=1, max_size=12), max_size=200))
+def test_hll_merge_commutative_and_superset(a, b):
+    av = np.array(a, dtype=object)
+    bv = np.array(b, dtype=object)
+    sa = HLLSketch(p=10).update(av)
+    sb = HLLSketch(p=10).update(bv)
+    ab = HLLSketch.from_bytes(sa.to_bytes()).merge(sb)
+    ba = HLLSketch.from_bytes(sb.to_bytes()).merge(sa)
+    assert ab.same_buckets(ba)
+    # merged estimate >= max single-side estimate (registers are maxed)
+    assert ab.estimate() >= max(sa.estimate(), sb.estimate()) - 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=st.lists(st.text(min_size=1, max_size=8), max_size=150))
+def test_cms_never_underestimates(a):
+    av = np.array(a, dtype=object)
+    sk = CountMinSketch(depth=3, width=64).update(av) if len(a) else CountMinSketch()
+    if len(a):
+        uniq, counts = np.unique(av, return_counts=True)
+        est = sk.query(uniq)
+        assert (est >= counts).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=arr_pos, b=arr_pos)
+def test_tdigest_merge_commutative(a, b):
+    ta = TDigest(delta=100).update(a)
+    tb = TDigest(delta=100).update(b)
+    ab = ta.copy_like() if hasattr(ta, "copy_like") else TDigest.from_bytes(ta.to_bytes())
+    ab = ab.merge(TDigest.from_bytes(tb.to_bytes()))
+    ba = TDigest.from_bytes(tb.to_bytes()).merge(TDigest.from_bytes(ta.to_bytes()))
+    assert ab.same_buckets(ba)
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=arr_pos)
+def test_kll_population_and_serde(a):
+    sk = KLLSketch(k=32).update(a)
+    assert sk.n == len(a)
+    rt = KLLSketch.from_bytes(sk.to_bytes())
+    assert rt.same_buckets(sk)
