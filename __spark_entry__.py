@@ -609,6 +609,8 @@ def _minhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    # single-file tables scan as 1-2 splits; spread the CPU-heavy shingling
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
     pairs = minhash_dedup_pairs(doubled, num_perm=64, bands=16, threshold=0.9)
     n_docs = d.count()
     n_self = pairs.where(
@@ -630,6 +632,7 @@ def _simhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
     pairs = simhash_near_dups(doubled, max_hamming=0)
     n_docs = d.count()
     n_self = pairs.where(F.col("b") - F.col("a") == 1_000_000).count()

@@ -37,13 +37,20 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     extras: dict[str, float] = {}
 
     qs = entry.queries()
+    # untimed warmup: spins up codegen + the python worker pool so the first
+    # timed query doesn't absorb session startup
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+    qs["udds_quantile_by_flag"](spark, sf_dir).count()
     for name in [
         "q1_pricing_summary",
         "q3_top_revenue_orders",
         "udds_quantile_global",
         "udds_quantile_by_flag",
+        "ddsketch_signed_quantiles",
         "events_gap_quantile",
         "dedup_exact_documents",
+        "minhash_selfdup_recall",
+        "cosine_topk_embeddings",
         "doc_token_stats",
     ]:
         t0 = time.time()

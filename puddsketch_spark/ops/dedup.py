@@ -145,15 +145,16 @@ def lsh_candidate_pairs(
     """
     num_perm = len(sigs.select("sig").first()[0])
     rows = num_perm // bands
+    # materialize signatures once: both sides of the self-join share this
+    # subtree, and without a persist Spark recomputes the shingling twice
+    # (at warehouse scale you'd write sigs to a table instead)
+    sigs = sigs.persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
         F.posexplode(
             F.array(
-                *[
-                    F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("array<string>").cast("string"))
-                    for i in range(bands)
-                ]
+                *[F.xxhash64(F.slice("sig", i * rows + 1, rows)) for i in range(bands)]
             )
         ).alias("band", "band_hash"),
     )
@@ -237,7 +238,7 @@ def simhash_near_dups(
     at least one chunk matches exactly, so candidates come from 4 bucket
     joins, not an all-pairs product. JVM-side bit_count verifies.
     """
-    sh = simhash_bits(df, text_col, id_col, shingle_k)
+    sh = simhash_bits(df, text_col, id_col, shingle_k).persist()
     chunks = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -372,7 +373,7 @@ def embedding_near_dups(
         F.posexplode(F.array(*[band_sig(b) for b in range(num_bands)])).alias(
             "band", "sig"
         ),
-    )
+    ).persist()
     a = tagged.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "band", "sig")
     b = tagged.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "band", "sig")
     return (
