@@ -158,6 +158,84 @@ LIMIT 10
 """
 
 
+def _q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored 5-way join: revenue by nation, all dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _udds_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column grouped UDDSketch (multi-key JVM fill path)."""
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import quantile_table, sketch_grouped_jvm
+
+    li = _t(spark, sf_dir, "lineitem")
+    merged = sketch_grouped_jvm(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], _A, 0
+    )
+    qt = quantile_table(merged, ["l_returnflag", "l_linestatus"], (0.5, 0.99),
+                        UDDSketch.from_bytes)
+    return qt.join(
+        merged.select("l_returnflag", "l_linestatus", "n"),
+        ["l_returnflag", "l_linestatus"],
+    ).select("l_returnflag", "l_linestatus", "q", "est", "n")
+
+
+_UDDS2_SQL = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+),
+b AS (SELECT l_returnflag, l_linestatus, k, COUNT(*) AS c FROM keyed GROUP BY 1, 2, 3),
+cum AS (SELECT l_returnflag, l_linestatus, k,
+               SUM(c) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY k) AS cumc
+        FROM b),
+nn AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM keyed GROUP BY 1, 2),
+qs AS (SELECT * FROM (VALUES (0.5e0),(0.99e0)) AS t(q)),
+kq AS (
+  SELECT nn.l_returnflag, nn.l_linestatus, qs.q, nn.n,
+         (SELECT MIN(k) FROM cum
+          WHERE cum.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT)
+            AND cum.l_returnflag = nn.l_returnflag
+            AND cum.l_linestatus = nn.l_linestatus) AS kq
+  FROM nn CROSS JOIN qs
+)
+SELECT l_returnflag, l_linestatus, q,
+       power({_G_SQL}, kq) * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       n
+FROM kq
+"""
+
+
 def _top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function coverage: rank per partition, deterministic ties."""
     from pyspark.sql import Window
@@ -668,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_quantile": _events_gap_quantile,
         "top2_orders_per_customer": _top2_orders_per_customer,
         "set_ops_part_types": _set_ops_part_types,
+        "q5_nation_volume": _q5_nation_volume,
+        "udds_by_flag_status": _udds_by_flag_status,
         "dedup_exact_documents": _dedup_exact_documents,
         "doc_token_stats": _doc_token_stats,
         "hll_users_by_type": _hll_users_by_type,
@@ -697,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_quantile": _GAP_SQL,
         "top2_orders_per_customer": _TOP2_SQL,
         "set_ops_part_types": _SETOP_SQL,
+        "q5_nation_volume": _Q5_SQL,
+        "udds_by_flag_status": _UDDS2_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "doc_token_stats": _TOKEN_SQL,
         "hll_users_by_type": _HLL_SQL,

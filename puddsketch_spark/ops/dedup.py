@@ -208,17 +208,18 @@ def simhash_bits(
             out = np.zeros(len(texts), dtype=np.int64)
             counts = np.diff(doc_starts)
             if hashes.size:
-                # bit matrix votes: +1 for set bit, -1 for unset, per doc
-                bits = ((hashes[:, None] >> np.arange(64, dtype=_U64)) & _U64(1)).astype(
-                    np.int64
-                ) * 2 - 1
+                # per-bit-plane popcount: O(n) memory instead of an n x 64
+                # int64 vote matrix; bit b is set iff set-count > half the
+                # doc's shingles (equivalent to the +1/-1 vote sum)
                 ne = np.flatnonzero(counts > 0)
-                votes = np.add.reduceat(bits, doc_starts[ne], axis=0)
-                sim = (votes > 0).astype(np.uint64)
+                starts_ne = doc_starts[ne]
+                half = counts[ne].astype(np.uint64)  # 2*set > total <=> votes>0
                 packed = np.zeros(ne.size, dtype=_U64)
                 with np.errstate(over="ignore"):
                     for b in range(64):
-                        packed |= sim[:, b] << _U64(b)
+                        plane = (hashes >> _U64(b)) & _U64(1)
+                        set_cnt = np.add.reduceat(plane, starts_ne)
+                        packed |= (2 * set_cnt > half).astype(_U64) << _U64(b)
                 out[ne] = packed.view(np.int64)
             yield pd.DataFrame({id_col: ids, "simhash": out})
 
