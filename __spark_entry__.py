@@ -720,6 +720,38 @@ def _simhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline on the doubled corpus: exact-content pairs ->
+    connected components -> survivors. Deterministic oracle: survivors ==
+    distinct text digests, and each component's min id is an original
+    (copies carry +1M ids)."""
+    from puddsketch_spark.ops.dedup import dedup_survivors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.union(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    hashed = doubled.select("doc_id", F.md5("text").alias("_h"))
+    a = hashed.select(F.col("doc_id").alias("a"), "_h")
+    b = hashed.select(F.col("doc_id").alias("b"), "_h")
+    pairs = a.join(b, "_h").where(F.col("a") < F.col("b")).select("a", "b")
+    surv = dedup_survivors(doubled, pairs)
+    n_in = doubled.count()
+    n_out = surv.count()
+    all_original = surv.agg(F.max("doc_id")).first()[0] < 1_000_000
+    return spark.createDataFrame(
+        [(int(n_in), int(n_out), bool(all_original))],
+        "n_input long, n_survivors long, all_original boolean",
+    )
+
+
+_SURVIVOR_SQL = """
+SELECT 2 * COUNT(*) AS n_input, COUNT(DISTINCT md5(text)) AS n_survivors,
+       TRUE AS all_original
+FROM documents
+"""
+
+
 def _ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puddsketch_spark.ops.similarity import cosine_topk, ivf_assign, ivf_topk, random_centroids
 
@@ -763,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_agreement": _lang_id_agreement,
         "minhash_selfdup_recall": _minhash_selfdup_recall,
         "simhash_selfdup_recall": _simhash_selfdup_recall,
+        "dedup_pipeline_survivors": _dedup_pipeline_survivors,
         "ivf_recall_check": _ivf_recall_check,
     }
 
@@ -795,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         # fragile in SQL; driver rows-only check + pytest oracle instead
         "minhash_selfdup_recall": _MINHASH_SQL,
         "simhash_selfdup_recall": _MINHASH_SQL,
+        "dedup_pipeline_survivors": _SURVIVOR_SQL,
         # ivf_recall_check: randomized-centroid recall, boolean self-check;
         # rows-only in the driver
     }

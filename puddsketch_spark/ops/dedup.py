@@ -44,6 +44,8 @@ __all__ = [
     "simhash_near_dups",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
+    "dedup_components",
+    "dedup_survivors",
 ]
 
 _U64 = np.uint64
@@ -322,6 +324,85 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- embeddings
+# ---------------------------------------------------------------- components
+def dedup_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs: DataFrame[a, b] ->
+    DataFrame[id, component] where component = min id in the component.
+
+    Distributed label propagation (large-star flavor): each node repeatedly
+    adopts the minimum label in its neighborhood until a fixed point. Each
+    iteration is one shuffle over the edge list; convergence takes
+    O(log(component diameter)) rounds — near-dup components are tiny
+    (dozens of docs), so a handful of iterations suffices even at 100 TB.
+    The fixed point is detected with a distributed count, no driver-side
+    graph materialization.
+    """
+    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    # undirected: both directions, plus self-loops so singletons keep labels
+    sym = (
+        edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("x").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        # (1) adopt the min label in the direct neighborhood
+        neigh_min = (
+            sym.join(labels, sym.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("component").alias("nmin"))
+        )
+        stepped = labels.join(neigh_min, labels.id == neigh_min.x, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # (2) pointer jumping: component := component-of-my-component, so
+        # label distance halves per round (40-chain converges in ~6 rounds,
+        # not 40)
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        jumped = stepped.join(parent, stepped.component == parent.pid, "left").select(
+            "id", F.coalesce(F.col("pcomp"), F.col("component")).alias("component")
+        )
+        # (3) localCheckpoint truncates the iterative lineage — without it
+        # the nested-join plan grows superlinearly and analysis stalls
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one document per near-dup component (the min id) plus all
+    documents that appear in no pair. The standard end of a dedup pipeline:
+    pairs -> components -> survivors."""
+    comps = dedup_components(pairs)
+    keep = comps.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    in_pairs = comps.select(F.col("id").alias(id_col))
+    untouched = df.select(id_col).join(in_pairs, id_col, "left_anti")
+    return df.join(keep.union(untouched), id_col, "left_semi")
+
+
 def _cosine_expr(ca: str, cb: str):
     dot = F.aggregate(
         F.zip_with(F.col(ca).cast("array<double>"), F.col(cb).cast("array<double>"),

@@ -1,1 +1,1 @@
-from .sketch_stream import streaming_udds_quantiles, udds_state_update  # noqa: F401
+from .sketch_stream import streaming_sketch, streaming_udds_quantiles, udds_state_update  # noqa: F401

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
 
 from ..core.uddsketch import UDDSketch
 
-__all__ = ["udds_state_update", "streaming_udds_quantiles"]
+__all__ = ["udds_state_update", "streaming_udds_quantiles", "streaming_sketch"]
 
 
 def _output_schema(group_cols: Sequence[str], qs: Sequence[float]) -> StructType:
@@ -85,6 +85,55 @@ def udds_state_update(
         )
 
     return update
+
+
+def streaming_sketch(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    factory,
+    from_bytes,
+    finalize,
+    finalize_schema: StructType,
+):
+    """Generic stateful streaming aggregation for ANY mergeable kernel.
+
+    ``finalize(sketch) -> tuple`` produces the per-trigger output row (must
+    match ``finalize_schema``, which excludes the group columns — they are
+    prepended automatically). State = the kernel blob; HLL distinct counts,
+    CMS frequencies, t-digest quantiles etc. all drop in unchanged.
+    """
+    group_cols = list(group_cols)
+    out_schema = StructType(
+        [StructField(c, StringType(), True) for c in group_cols]
+        + list(finalize_schema.fields)
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            sk = from_bytes(bytes(blob))
+        else:
+            sk = factory()
+        for pdf in pdfs:
+            col = pdf[value_col]
+            if col.dtype.kind in "if":
+                sk.update(col.to_numpy(dtype="float64", na_value=np.nan))
+            else:
+                sk.update(col.dropna().to_numpy())
+        state.update((sk.to_bytes(),))
+        yield pd.DataFrame(
+            [tuple(key) + tuple(finalize(sk))],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return stream_df.groupBy(*group_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_udds_quantiles(

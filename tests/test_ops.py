@@ -90,6 +90,28 @@ def test_ngram_jaccard_exact(spark, dup_docs):
     assert (0, 3) not in out
 
 
+def test_dedup_components_and_survivors(spark, dup_docs):
+    from puddsketch_spark.ops.dedup import dedup_components, dedup_survivors
+
+    # chain 0-1, 1-2 plus isolated pair 3-4: components {0,1,2} and {3,4}
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a long, b long")
+    comps = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    surv = sorted(r.doc_id for r in dedup_survivors(dup_docs, pairs).collect())
+    # keep min of each component (0, 3) + untouched docs (5, 6)
+    assert surv == [0, 3, 5, 6]
+
+
+def test_dedup_components_long_chain(spark):
+    """Chain of 40 nodes -> one component (propagation needs ~log rounds)."""
+    from puddsketch_spark.ops.dedup import dedup_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
+    comps = dedup_components(pairs).collect()
+    assert {r.component for r in comps} == {0}
+    assert len(comps) == 41
+
+
 def test_embedding_near_dups(spark):
     rng = np.random.default_rng(0)
     base = rng.standard_normal(32)

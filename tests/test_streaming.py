@@ -77,3 +77,38 @@ def test_update_fn_standalone_state_roundtrip():
     assert out1[0]["n"].iloc[0] == 1000
     out2 = list(fn(("user",), iter([pd.DataFrame({"text_len": rng.uniform(1, 100, 500)})]), st))
     assert out2[0]["n"].iloc[0] == 1500  # state carried across invocations
+
+
+def test_streaming_generic_hll(spark, tmp_path):
+    """HLL distinct-count through the generic streaming operator."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from puddsketch_spark.core import HLLSketch
+    from puddsketch_spark.streaming import streaming_sketch
+
+    src = str(tmp_path / "hsrc")
+    ckpt = str(tmp_path / "hckpt")
+    rows1 = [("user", f"conv{i % 300}") for i in range(3000)]
+    rows2 = [("user", f"conv{i % 500}") for i in range(3000)]
+    spark.createDataFrame(rows1, "role string, conv_id string").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    stream = spark.readStream.schema("role string, conv_id string").parquet(src)
+    out = streaming_sketch(
+        stream, "conv_id", ["role"],
+        factory=lambda: HLLSketch(p=12), from_bytes=HLLSketch.from_bytes,
+        finalize=lambda sk: (int(round(sk.estimate())),),
+        finalize_schema=StructType([StructField("distinct_est", LongType(), False)]),
+    )
+    q = (out.writeStream.format("memory").queryName("hll_out")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        est1 = spark.sql("select max(distinct_est) from hll_out").first()[0]
+        spark.createDataFrame(rows2, "role string, conv_id string").coalesce(1).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        est2 = spark.sql("select max(distinct_est) from hll_out").first()[0]
+    finally:
+        q.stop()
+    assert abs(est1 - 300) / 300 <= 0.05
+    assert abs(est2 - 500) / 500 <= 0.05  # state accumulated across batches
