@@ -1,0 +1,92 @@
+"""Accuracy sweep: measured relative error vs the alpha bound, per
+distribution — the reference's VALIDATE-mode CSV analog
+(/root/reference/ParallelDDSketch/src/ParallelSketcher.cc:1048-1070).
+
+For each (distribution, alpha, m): build the grouped sketch through the full
+distributed pipeline at local[8], compare every quantile estimate against the
+exact order statistic, report max relative error and the post-collapse alpha
+it must not exceed. Writes BENCH/ACCURACY.md + one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+QS = [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999]
+
+
+def main() -> None:
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import sketch_global
+    from puddsketch_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="accuracy", master="local[8]", shuffle_partitions=8)
+    rows = []
+    n = 500_000
+    rng_specs = {
+        "uniform(1,1000)": lambda g: g.uniform(1, 1000, n),
+        "lognormal(5,1)": lambda g: g.lognormal(5, 1, n),
+        "exponential(1)": lambda g: g.exponential(1.0, n) + 1e-12,
+        "normal(30,10)+": lambda g: np.clip(g.normal(30, 10, n), 1e-3, None),
+    }
+    for dist, gen in rng_specs.items():
+        for seed in (0, 1):
+            v = gen(np.random.default_rng(seed))
+            sv = np.sort(v)
+            # distributed path over 16 partitions
+            rdd = spark.sparkContext.parallelize(v.tolist(), 16)
+            sdf = rdd.map(lambda x: (x,)).toDF(["x"])
+            for alpha, m in [(0.01, 200), (0.001, 2048)]:
+                sk = sketch_global(
+                    sdf, "x", lambda a=alpha, mm=m: UDDSketch(initial_alpha=a, m=mm),
+                    UDDSketch.from_bytes,
+                )
+                errs = []
+                for q in QS:
+                    est = sk.quantile(q)
+                    exact = sv[int(np.floor(q * (n - 1)))]
+                    errs.append(abs(est - exact) / abs(exact))
+                rows.append(
+                    {
+                        "dist": dist,
+                        "seed": seed,
+                        "alpha0": alpha,
+                        "m": m,
+                        "alpha_current": round(sk.alpha, 6),
+                        "collapses": sk.num_collapses,
+                        "max_rel_err": round(max(errs), 6),
+                        "p99_rel_err": round(errs[QS.index(0.99)], 6),
+                        "within_bound": bool(max(errs) <= sk.alpha + 1e-12),
+                    }
+                )
+    spark.stop()
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ACCURACY.md"), "w") as f:
+        f.write(
+            "# ACCURACY — measured relative error vs the alpha bound\n\n"
+            "Distributed UDDSketch (16 partitions, treeReduce merge) vs exact\n"
+            "order statistics, 500k values, quantiles "
+            f"{QS}.\nBound: post-collapse alpha (VALIDATE-mode semantics).\n\n"
+            "| dist | seed | alpha0 | m | alpha_now | collapses | max rel err | p99 rel err | within bound |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(
+                f"| {r['dist']} | {r['seed']} | {r['alpha0']} | {r['m']} | "
+                f"{r['alpha_current']} | {r['collapses']} | {r['max_rel_err']} | "
+                f"{r['p99_rel_err']} | {'YES' if r['within_bound'] else 'NO'} |\n"
+            )
+    all_ok = all(r["within_bound"] for r in rows)
+    print(json.dumps({"metric": "accuracy within alpha", "all_within_bound": all_ok,
+                      "cases": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()
