@@ -27,8 +27,10 @@ def _drop_nan(values):
 
 
 def optimal_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
-    """(num_bits, num_hashes) for a target capacity and false-positive rate."""
+    """(num_bits, num_hashes) for a target capacity and false-positive rate.
+    num_bits is rounded up to a multiple of 64 (BloomFilter's word size)."""
     m = int(np.ceil(-n_items * np.log(fpr) / (np.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
     k = max(1, int(round(m / n_items * np.log(2))))
     return m, k
 
@@ -58,6 +60,7 @@ class BloomFilter:
         return int(sum(int(w).bit_count() for w in self.bits))
 
     num_collapses = 0
+    value_family = "hash"
 
     def _positions(self, values) -> np.ndarray:
         hs = hash64_k(values, self.num_hashes)

@@ -54,6 +54,7 @@ class CountMinSketch:
         return int(np.count_nonzero(self.table))
 
     num_collapses = 0
+    value_family = "hash"
 
     def update(self, values, counts: np.ndarray | None = None) -> "CountMinSketch":
         values, counts = _drop_nan(values, counts)

@@ -35,10 +35,12 @@ _MODES_INV = {v: k for k, v in _MODES.items()}
 
 
 def _absorb(keys: np.ndarray, counts: np.ndarray, k2: np.ndarray, c2: np.ndarray):
+    # copies on the pass-through branches: returning an operand's arrays by
+    # reference would alias two sketches' stores (mutation corrupts both)
     if keys.size == 0:
-        return k2, c2
+        return k2.copy(), c2.copy()
     if k2.size == 0:
-        return keys, counts
+        return keys.copy(), counts.copy()
     allk = np.concatenate([keys, k2])
     allc = np.concatenate([counts, c2])
     u, inv = np.unique(allk, return_inverse=True)

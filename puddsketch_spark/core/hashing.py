@@ -34,13 +34,17 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 def hash64(values) -> np.ndarray:
     """Deterministic base 64-bit hash of an array (strings, ints, floats).
 
-    Numerics are canonicalized to their float64 bit pattern so int 5 and
-    float 5.0 hash identically — the Spark agg layer coerces numeric columns
-    to float64, and probes (e.g. Bloom ``contains``) must agree regardless of
-    the caller's dtype. Exact for |int| < 2^53 (ids/keys in practice).
+    Dtype contract: integers hash via their exact uint64 bit pattern (no
+    float round-trip — snowflake-style IDs above 2^53 must not collide);
+    floats hash via their float64 bits. Consequently int 5 and float 5.0
+    hash DIFFERENTLY: probe hash sketches with the same dtype the column was
+    built with (the Spark agg layer keeps integer columns integral for
+    hash-family kernels).
     """
     arr = values.to_numpy() if isinstance(values, pd.Series) else np.asarray(values)
-    if arr.dtype.kind in "iuf":
+    if arr.dtype.kind in "iu":
+        return splitmix64(arr.astype(np.int64, copy=False).view(np.uint64))
+    if arr.dtype.kind == "f":
         return splitmix64(arr.astype(np.float64, copy=False).view(np.uint64))
     # strings / objects: pandas vectorized SipHash with a pinned key
     h = pd.util.hash_array(

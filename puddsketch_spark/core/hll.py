@@ -58,6 +58,7 @@ class HLLSketch:
         return int(np.count_nonzero(self.regs))
 
     num_collapses = 0
+    value_family = "hash"
 
     def update(self, values) -> "HLLSketch":
         values = _drop_nan(values)
@@ -66,11 +67,16 @@ class HLLSketch:
             return self
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         w = h & np.uint64((1 << (64 - self.p)) - 1)
-        # rho = position of leftmost 1-bit in the low (64-p) bits
-        # bit_length via log2 is exact for w < 2^53 (here w < 2^50 at p=14)
+        # rho = position of leftmost 1-bit in the low (64-p) bits.
+        # float64 log2 rounds w near 2^e UP (w >= 2^53 possible when p <= 11),
+        # overstating e by one -> rho 0; detect with an exact integer check
         nz = w > 0
         rho = np.full(h.size, 64 - self.p + 1, dtype=np.uint8)
-        rho[nz] = (64 - self.p - np.floor(np.log2(w[nz].astype(np.float64)))).astype(np.uint8)
+        wn = w[nz]
+        e = np.floor(np.log2(wn.astype(np.float64))).astype(np.uint64)
+        over = (wn >> e) == 0  # log2 rounded across the power-of-two boundary
+        e[over] -= np.uint64(1)
+        rho[nz] = (64 - self.p - e.astype(np.int64)).astype(np.uint8)
         np.maximum.at(self.regs, idx, rho)
         return self
 

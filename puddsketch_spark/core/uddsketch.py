@@ -180,7 +180,9 @@ class UDDSketch:
     def _absorb(self, ukeys: np.ndarray, ucounts: np.ndarray) -> None:
         """Merge a sorted (key,count) run into the sorted store."""
         if self.keys.size == 0:
-            self.keys, self.counts = ukeys, ucounts
+            # copy: adopting the caller's arrays by reference would alias
+            # merge operands (later in-place mutation corrupts the other)
+            self.keys, self.counts = ukeys.copy(), ucounts.copy()
             return
         allk = np.concatenate([self.keys, ukeys])
         allc = np.concatenate([self.counts, ucounts])

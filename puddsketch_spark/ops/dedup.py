@@ -77,10 +77,15 @@ def _batch_shingle_hashes(texts: np.ndarray, k: int):
     doc_starts = np.concatenate([[0], np.cumsum(n_sh)])
     if blob.size < k:
         return np.empty(0, dtype=_U64), doc_starts
-    win = np.lib.stride_tricks.sliding_window_view(blob, k).astype(_U64)
+    # column-by-column polynomial accumulation: O(total_bytes) peak memory;
+    # a (n_windows, k) uint64 window matrix would blow memory up 8k-fold on
+    # large Arrow batches
+    n_win = blob.size - k + 1
     powers = _U64(1099511628211) ** np.arange(k, dtype=_U64)  # FNV-prime powers
+    raw = np.zeros(n_win, dtype=_U64)
     with np.errstate(over="ignore"):
-        raw = (win * powers).sum(axis=1, dtype=_U64)
+        for j in range(k):
+            raw += blob[j : j + n_win].astype(_U64) * powers[j]
         hashes = splitmix64(raw)
     # drop windows that cross document boundaries
     ends = np.cumsum(lens)
@@ -106,12 +111,15 @@ def minhash_signatures(
     """DataFrame[id, sig:array<bigint>] of minhash signatures.
 
     Permutations are splitmix64 remixes of the shingle hash (standard
-    one-hash + k-mix minhash). Empty/too-short docs get an all-MAX signature.
+    one-hash + k-mix minhash). Docs with zero shingles (shorter than
+    shingle_k) get a NULL signature — a shared sentinel would make every
+    short doc a "perfect duplicate" of every other and dedup would delete
+    unrelated documents.
     """
     out_schema = StructType(
         [
             df.schema[id_col],
-            StructField("sig", ArrayType(LongType(), False), False),
+            StructField("sig", ArrayType(LongType(), False), True),
         ]
     )
     seeds = (np.arange(1, num_perm + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
@@ -131,7 +139,9 @@ def minhash_signatures(
                         mixed = (hashes ^ seed) >> _U64(1)  # keep in int64 range
                         mins = np.minimum.reduceat(mixed, starts_ne)
                         sigs[nonempty, j] = mins.astype(np.int64)
-            yield pd.DataFrame({id_col: ids, "sig": list(sigs)})
+            empty = set(range(len(texts))) - set(nonempty.tolist())
+            out = [None if i in empty else sigs[i].tolist() for i in range(len(texts))]
+            yield pd.DataFrame({id_col: ids, "sig": out})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
@@ -145,7 +155,14 @@ def lsh_candidate_pairs(
     join. Returns DataFrame[a, b] with a < b, plus the estimated jaccard from
     full-signature agreement.
     """
-    num_perm = len(sigs.select("sig").first()[0])
+    # zero-shingle docs carry NULL signatures and cannot be near-dups
+    sigs = sigs.where(F.col("sig").isNotNull())
+    first = sigs.select("sig").first()
+    if first is None:
+        return sigs.sparkSession.createDataFrame(
+            [], "a long, b long, est_jaccard double"
+        )
+    num_perm = len(first[0])
     rows = num_perm // bands
     # materialize signatures once: both sides of the self-join share this
     # subtree, and without a persist Spark recomputes the shingling twice
@@ -199,8 +216,9 @@ def minhash_dedup_pairs(
 def simhash_bits(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
 ) -> DataFrame:
-    """DataFrame[id, simhash:long] — 64-bit shingle simhash."""
-    out_schema = StructType([df.schema[id_col], StructField("simhash", LongType(), False)])
+    """DataFrame[id, simhash:long] — 64-bit shingle simhash. Zero-shingle
+    docs get NULL (a shared 0 would make all short docs mutual dups)."""
+    out_schema = StructType([df.schema[id_col], StructField("simhash", LongType(), True)])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -223,7 +241,11 @@ def simhash_bits(
                         set_cnt = np.add.reduceat(plane, starts_ne)
                         packed |= (2 * set_cnt > half).astype(_U64) << _U64(b)
                 out[ne] = packed.view(np.int64)
-            yield pd.DataFrame({id_col: ids, "simhash": out})
+            has = np.zeros(len(texts), dtype=bool)
+            if hashes.size and counts.size:
+                has[np.flatnonzero(counts > 0)] = True
+            vals = [int(out[i]) if has[i] else None for i in range(len(texts))]
+            yield pd.DataFrame({id_col: ids, "simhash": vals})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
@@ -237,19 +259,32 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole blocking: split 64 bits into 4 chunks of 16; hamming<=3 means
-    at least one chunk matches exactly, so candidates come from 4 bucket
-    joins, not an all-pairs product. JVM-side bit_count verifies.
+    Pigeonhole blocking: split 64 bits into (max_hamming + 1) chunks — a
+    pair within the bound must match at least one chunk exactly, so
+    candidates come from chunk-bucket joins, never an all-pairs product.
+    (A fixed 4-chunk split is only sound for max_hamming <= 3.)
+    JVM-side bit_count verifies exactly.
     """
-    sh = simhash_bits(df, text_col, id_col, shingle_k).persist()
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // n_chunks
+    bounds = [(i * width, width if i < n_chunks - 1 else 64 - i * width)
+              for i in range(n_chunks)]
+    sh = simhash_bits(df, text_col, id_col, shingle_k).where(
+        F.col("simhash").isNotNull()
+    ).persist()
     chunks = sh.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned("simhash", off).bitwiseAND(
+                        # (1<<64)-1 overflows a long literal; -1 is all ones
+                        F.lit((1 << w) - 1 if w < 64 else -1)
+                    )
+                    for off, w in bounds
                 ]
             )
         ).alias("chunk_idx", "chunk"),

@@ -97,9 +97,14 @@ def partial_sketches(
     group_cols = list(group_cols)
     schema = _partial_schema(df, group_cols)
     pruned = df.select(*group_cols, value_col)
-    numeric_value = pruned.schema[value_col].dataType.typeName() in {
+    tname = pruned.schema[value_col].dataType.typeName()
+    numeric_value = tname in {
         "double", "float", "integer", "long", "short", "byte", "decimal",
     }
+    int_value = tname in {"integer", "long", "short", "byte"}
+    # hash-family kernels (HLL/CMS/Bloom) hash integer columns via their
+    # exact bit pattern — a float64 round-trip collides IDs above 2^53
+    hash_family = getattr(factory(), "value_family", "numeric") == "hash"
 
     def build(batches):
         import pyarrow as pa
@@ -112,7 +117,12 @@ def partial_sketches(
             if arrow_schema is None:
                 arrow_schema = batch.schema
             vcol = batch.column(len(group_cols))
-            if numeric_value:
+            if hash_family and int_value:
+                valid = ~np.asarray(vcol.is_null()) if vcol.null_count else None
+                vals_all = (
+                    vcol.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            elif numeric_value:
                 vals_all = vcol.cast(pa.float64()).to_numpy(zero_copy_only=False)
                 valid = None
             else:
@@ -218,7 +228,9 @@ def merge_grouped(
         for blob in states.iloc[1:]:
             sk = sk.merge(from_bytes(blob))
         n, b, c = _metrics_of(sk)
-        key_vals = [pdf[c_].iloc[0] for c_ in group_cols]
+        # _null_safe: pandas encodes a NULL group key as NaN/NaT; emitting
+        # that into a non-float Arrow field fails the stage
+        key_vals = [_null_safe(pdf[c_].iloc[0]) for c_ in group_cols]
         return pd.DataFrame(
             [tuple(key_vals) + (sk.to_bytes(), n, b, c, len(pdf))],
             columns=[f.name for f in schema.fields],
@@ -360,7 +372,7 @@ def udds_states_from_buckets(
             initial_alpha=alpha, m=m, zero_count=zero, keys=k[order], counts=c[order]
         )
         sk._enforce_bound()
-        key_vals = [pdf[g].iloc[0] for g in group_cols]
+        key_vals = [_null_safe(pdf[g].iloc[0]) for g in group_cols]
         return pd.DataFrame(
             [tuple(key_vals) + (sk.to_bytes(), sk.count, sk.num_buckets, sk.num_collapses, len(pdf))],
             columns=[f.name for f in schema.fields],
@@ -415,7 +427,7 @@ def udds_quantile_table_jvm(
         sk = UDDSketch(initial_alpha=alpha, m=m, zero_count=zero,
                        keys=k[order], counts=c[order])
         sk._enforce_bound()
-        key_vals = tuple(pdf[g].iloc[0] for g in group_cols)
+        key_vals = tuple(_null_safe(pdf[g].iloc[0]) for g in group_cols)
         rows = [key_vals + (q, float(sk.quantile(q)), sk.count) for q in qs]
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 

@@ -35,9 +35,16 @@ from ..core.uddsketch import UDDSketch
 __all__ = ["udds_state_update", "streaming_udds_quantiles", "streaming_sketch"]
 
 
-def _output_schema(group_cols: Sequence[str], qs: Sequence[float]) -> StructType:
+def _group_fields(stream_df: DataFrame, group_cols: Sequence[str]):
+    """Take group-column types from the input schema — hardcoding StringType
+    breaks numeric/timestamp group keys at the first trigger."""
+    by_name = {f.name: f for f in stream_df.schema.fields}
+    return [by_name[c] for c in group_cols]
+
+
+def _output_schema(stream_df: DataFrame, group_cols: Sequence[str], qs: Sequence[float]) -> StructType:
     return StructType(
-        [StructField(c, StringType(), True) for c in group_cols]
+        _group_fields(stream_df, group_cols)
         + [StructField(f"p{str(q).replace('.', '_')}", DoubleType(), True) for q in qs]
         + [
             StructField("n", LongType(), False),
@@ -105,8 +112,7 @@ def streaming_sketch(
     """
     group_cols = list(group_cols)
     out_schema = StructType(
-        [StructField(c, StringType(), True) for c in group_cols]
-        + list(finalize_schema.fields)
+        _group_fields(stream_df, group_cols) + list(finalize_schema.fields)
     )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -153,7 +159,7 @@ def streaming_udds_quantiles(
     fn = udds_state_update(group_cols, value_col, qs, alpha, m)
     return stream_df.groupBy(*group_cols).applyInPandasWithState(
         fn,
-        outputStructType=_output_schema(group_cols, qs),
+        outputStructType=_output_schema(stream_df, group_cols, qs),
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -80,7 +80,19 @@ def main(argv=None) -> int:
 
     group = list(args.group_by)
     if args.sketch == "udds":
-        if args.engine == "jvm" and group:
+        if args.checkpoint and group:
+            # resumable per-partition state requires the Arrow engine's
+            # materialized partials (the JVM fill has no partition-level
+            # state to checkpoint); honor --checkpoint over --engine
+            from puddsketch_spark.spark.checkpoint import checkpointed_sketch_grouped
+
+            merged = checkpointed_sketch_grouped(
+                spark, df, args.feature, group, args.checkpoint,
+                lambda: UDDSketch(initial_alpha=args.alpha, m=args.max_buckets),
+                UDDSketch.from_bytes,
+            )
+            out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
+        elif args.engine == "jvm" and group:
             merged = sketch_grouped_jvm(df, args.feature, group, args.alpha, args.max_buckets)
             out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
         else:

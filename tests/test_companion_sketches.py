@@ -79,7 +79,7 @@ def test_cms_weighted_update():
 def test_bloom_no_false_negatives_and_fpr():
     present = np.array([f"c{j:08d}" for j in range(50_000)], dtype=object)
     m, k = optimal_params(50_000, fpr=0.01)
-    m = ((m + 63) // 64) * 64
+    assert m % 64 == 0  # helper output is directly constructible
     bf = BloomFilter(num_bits=m, num_hashes=k).update(present)
     assert bf.contains(present).all()  # ZERO false negatives
     absent = np.array([f"z{j:08d}" for j in range(10_000)], dtype=object)

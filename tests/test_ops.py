@@ -75,6 +75,57 @@ def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     assert (0, 3) not in pairs
 
 
+def test_short_docs_never_false_duplicates(spark):
+    """Regression: zero-shingle docs must NOT pair with each other (a shared
+    sentinel signature made every short doc a 'perfect duplicate')."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=0, text="hi"),
+        Row(doc_id=1, text="no"),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text=BASE),
+        Row(doc_id=4, text=BASE),
+    ]
+    df = spark.createDataFrame(rows)
+    mp = minhash_dedup_pairs(df, num_perm=32, bands=8, threshold=0.5).collect()
+    assert {(r.a, r.b) for r in mp} == {(3, 4)}
+    sp = simhash_near_dups(df, max_hamming=3).collect()
+    assert {(r.a, r.b) for r in sp} == {(3, 4)}
+
+
+def test_simhash_wide_hamming_blocking_sound(spark):
+    """Regression: max_hamming > 3 must still find qualifying pairs (the
+    fixed 4-chunk pigeonhole silently dropped them)."""
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    mod = base.replace("lazy", "soppy").replace("far", "out")
+    df = spark.createDataFrame([Row(doc_id=0, text=base), Row(doc_id=1, text=mod)])
+    from puddsketch_spark.ops.dedup import simhash_bits
+
+    sh = {r.doc_id: r.simhash for r in simhash_bits(df).collect()}
+    ham = bin(sh[0] ^ sh[1]).count("1")
+    found = simhash_near_dups(df, max_hamming=ham).collect()
+    assert {(r.a, r.b) for r in found} == {(0, 1)}
+
+
+def test_merge_does_not_alias_operand(spark):
+    """Regression: merging into an empty sketch must not alias the other
+    operand's arrays (later mutation corrupted the sibling)."""
+    import numpy as np
+
+    from puddsketch_spark.core import UDDSketch
+
+    b = UDDSketch(0.01, m=0).update(np.array([1.0, 2.0, 3.0]))
+    a = UDDSketch(0.01, m=0)
+    a.merge(b)
+    before = b.counts.copy()
+    a.remove(np.array([2.0]))
+    assert np.array_equal(b.counts, before)
+    assert a.count == 2 and b.count == 3
+
+
 def test_simhash_near_dups(spark, dup_docs):
     pairs = {(r.a, r.b): r.hamming for r in
              simhash_near_dups(dup_docs, max_hamming=6).collect()}

@@ -35,6 +35,22 @@ def test_datagen_deterministic(spark):
     assert cols == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering, regardless of physical partitioning."""
+    a = transcripts(spark, n_conv=100, seed=11, partitions=2)
+    b = transcripts(spark, n_conv=100, seed=11, partitions=16).repartition(7)
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.turn_idx") == F.col("b.turn_idx")),
+    )
+    n = joined.count()
+    assert n == a.count() == b.count()
+    mismatched = joined.where(F.col("a.text") != F.col("b.text")).count()
+    assert mismatched == 0
+
+
 def test_partials_carry_lineage_metrics(tdf):
     p = partial_sketches(tdf, "text_len", ["role"], _factory)
     rows = p.collect()
