@@ -426,6 +426,29 @@ FROM orders
 """
 
 
+def _heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over event_type via the distributed
+    pipeline. With distinct keys <= k no decrements ever happen, so the
+    sketch counts are EXACT and the SQL oracle is plain GROUP BY COUNT."""
+    from puddsketch_spark.core import MisraGries
+    from puddsketch_spark.spark.agg import sketch_global
+
+    ev = _t(spark, sf_dir, "events")
+    sk = sketch_global(ev, "event_type", lambda: MisraGries(k=64),
+                       MisraGries.from_bytes)
+    rows = sorted((str(k), int(c)) for k, c in sk.counters.items())
+    return spark.createDataFrame(
+        [(k, c, int(sk.err)) for k, c in rows],
+        "event_type string, est_count long, err long",
+    )
+
+
+_HH_SQL = """
+SELECT event_type, COUNT(*) AS est_count, 0 AS err
+FROM events GROUP BY event_type
+"""
+
+
 def _rank_check(spark: SparkSession, sf_dir: str, kind: str, tol: float) -> DataFrame:
     """Global quantile sketch over l_extendedprice; verify rank error of each
     estimate exactly in a second Spark pass."""
@@ -785,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": _hll_users_by_type,
         "cms_event_type_freq": _cms_event_type_freq,
         "bloom_custkeys": _bloom_custkeys,
+        "heavy_hitters_event_types": _heavy_hitters_event_types,
         "kll_price_rank": _kll_price_rank,
         "tdigest_price_rank": _tdigest_price_rank,
         "req_price_rank": _req_price_rank,
@@ -817,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": _HLL_SQL,
         "cms_event_type_freq": _CMS_SQL,
         "bloom_custkeys": _BLOOM_SQL,
+        "heavy_hitters_event_types": _HH_SQL,
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
         "req_price_rank": _RANK_SQL,
