@@ -20,7 +20,7 @@ batch this is O(total_bytes * k) numpy work — no Python loop over documents.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..core.hashing import splitmix64
+# rolling-hash core shared with dedup
 from .dedup import _batch_shingle_hashes
 
 __all__ = [

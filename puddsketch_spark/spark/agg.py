@@ -23,7 +23,7 @@ Scale notes (100 TB / 1000 executors):
 from __future__ import annotations
 
 import math
-from typing import Callable, Iterable, Iterator, Sequence
+from typing import Callable, Iterable, Sequence
 
 import numpy as np
 import pandas as pd

@@ -12,7 +12,7 @@ from typing import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import LongType
 
 from ..core.bloom import BloomFilter
 from ..core.cms import CountMinSketch
