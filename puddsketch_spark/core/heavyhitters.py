@@ -95,11 +95,19 @@ class MisraGries:
     def to_bytes(self) -> bytes:
         # keys are strings or numbers; JSON with a type tag keeps the serde
         # dependency-free and cross-version stable (no pickle)
-        items = [
-            [("s" if isinstance(key, str) else "i" if isinstance(key, (int, np.integer)) else "f"),
-             str(key), int(c)]
-            for key, c in self.counters.items()
-        ]
+        items = []
+        for key, c in self.counters.items():
+            # bool check first: isinstance(True, int) is True and would tag
+            # booleans 'i', crashing from_bytes on int('True')
+            if isinstance(key, (bool, np.bool_)):
+                t = "b"
+            elif isinstance(key, str):
+                t = "s"
+            elif isinstance(key, (int, np.integer)):
+                t = "i"
+            else:
+                t = "f"
+            items.append([t, str(key), int(c)])
         return json.dumps(
             {"k": self.k, "total": self.total, "err": self.err, "items": items}
         ).encode()
@@ -109,6 +117,13 @@ class MisraGries:
         obj = json.loads(bytes(data).decode())
         counters = {}
         for t, ks, c in obj["items"]:
-            key = ks if t == "s" else int(ks) if t == "i" else float(ks)
+            if t == "s":
+                key = ks
+            elif t == "i":
+                key = int(ks)
+            elif t == "b":
+                key = ks == "True"
+            else:
+                key = float(ks)
             counters[key] = c
         return cls(k=obj["k"], total=obj["total"], err=obj["err"], counters=counters)

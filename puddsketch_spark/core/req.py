@@ -62,12 +62,17 @@ class REQSketch:
         return self
 
     def _compress(self) -> None:
+        # fixed point: one compaction halves a level but can leave it (or the
+        # level above) still over cap after a merge — re-scan until stable,
+        # otherwise tree merges grow buffers without bound
         cap = self._cap()
-        h = 0
-        while h < len(self.levels):
-            if self.levels[h].size > cap:
-                self._compact_level(h)
-            h += 1
+        changed = True
+        while changed:
+            changed = False
+            for h in range(len(self.levels)):
+                if self.levels[h].size > cap:
+                    self._compact_level(h)
+                    changed = True
 
     def _compact_level(self, h: int) -> None:
         lv = np.sort(self.levels[h])
@@ -126,6 +131,10 @@ class REQSketch:
         it, wt = self._weighted()
         if it.size == 0:
             return float("nan")
+        if q <= 0.0:
+            return float(self.vmin)
+        if q >= 1.0:
+            return float(self.vmax)  # exact extremes (tracked in state)
         cum = np.cumsum(wt)
         i = min(int(np.searchsorted(cum, q * cum[-1], side="left")), it.size - 1)
         return float(it[i])

@@ -155,19 +155,23 @@ def lsh_candidate_pairs(
     join. Returns DataFrame[a, b] with a < b, plus the estimated jaccard from
     full-signature agreement.
     """
-    # zero-shingle docs carry NULL signatures and cannot be near-dups
-    sigs = sigs.where(F.col("sig").isNotNull())
+    from pyspark.sql.types import DoubleType as _D, StructField as _SF, StructType as _ST
+
+    id_type = sigs.schema[id_col].dataType
+    # zero-shingle docs carry NULL signatures and cannot be near-dups.
+    # persist BEFORE first() so the probe populates the cache the self-join
+    # reuses (first-then-persist recomputed the shingling). The cache is
+    # intentionally left alive: the returned DataFrame references it lazily.
+    sigs = sigs.where(F.col("sig").isNotNull()).persist()
     first = sigs.select("sig").first()
     if first is None:
+        sigs.unpersist()
         return sigs.sparkSession.createDataFrame(
-            [], "a long, b long, est_jaccard double"
+            [],
+            _ST([_SF("a", id_type), _SF("b", id_type), _SF("est_jaccard", _D())]),
         )
     num_perm = len(first[0])
     rows = num_perm // bands
-    # materialize signatures once: both sides of the self-join share this
-    # subtree, and without a persist Spark recomputes the shingling twice
-    # (at warehouse scale you'd write sigs to a table instead)
-    sigs = sigs.persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -329,12 +333,15 @@ def ngram_jaccard_pairs(
             ),
         ).otherwise(F.array().cast("array<string>"))
     else:
-        grams = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.length(text_col) - n, F.lit(0))),
-                lambda i: F.col(text_col).substr(i + 1, F.lit(n)),
-            )
-        )
+        grams = F.when(
+            F.length(text_col) >= n,  # no truncated gram for short/empty docs
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length(text_col) - n),
+                    lambda i: F.col(text_col).substr(i + 1, F.lit(n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = g.select(F.col(id_col).alias("a"), "gram")

@@ -274,14 +274,18 @@ def sketch_global(
     """
     fb = from_bytes or _default_from_bytes(factory)
     partials = partial_sketches(df, value_col, (), factory)
-    blobs = partials.select("state").rdd.map(lambda r: bytes(r[0]))
+    # persist: isEmpty (take(1)) would otherwise run the full sketch build
+    # for partition 0 and treeReduce would recompute everything again
+    blobs = partials.select("state").rdd.map(lambda r: bytes(r[0])).persist()
+    try:
+        def merge_bytes(a: bytes, b: bytes) -> bytes:
+            return fb(a).merge(fb(b)).to_bytes()
 
-    def merge_bytes(a: bytes, b: bytes) -> bytes:
-        return fb(a).merge(fb(b)).to_bytes()
-
-    if blobs.isEmpty():
-        return factory()
-    return fb(blobs.treeReduce(merge_bytes, depth=depth))
+        if blobs.isEmpty():
+            return factory()
+        return fb(blobs.treeReduce(merge_bytes, depth=depth))
+    finally:
+        blobs.unpersist()
 
 
 def quantile_table(

@@ -33,10 +33,26 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, "_sketch_manifest.json")
 
 
-def write_partials(partials: DataFrame, path: str, num_input_partitions: int) -> None:
+def write_partials(
+    partials: DataFrame,
+    path: str,
+    num_input_partitions: int,
+    completed_ids: list[int] | None = None,
+) -> None:
+    """Write partial states + manifest. ``completed_ids`` records partitions
+    known processed even if they produced zero rows (empty input partitions
+    leave no parquet trace, so presence-in-parquet alone can never mark a
+    checkpoint complete)."""
     partials.write.mode("overwrite").parquet(path)
     with open(_manifest_path(path), "w") as f:
-        json.dump({"num_input_partitions": num_input_partitions, "version": 1}, f)
+        json.dump(
+            {
+                "num_input_partitions": num_input_partitions,
+                "completed": sorted(completed_ids or []),
+                "version": 2,
+            },
+            f,
+        )
 
 
 def resume_partials(
@@ -54,7 +70,7 @@ def resume_partials(
     n_parts = df.rdd.getNumPartitions()
     if not os.path.exists(_manifest_path(path)):
         partials = partial_sketches(df, value_col, group_cols, factory)
-        write_partials(partials, path, n_parts)
+        write_partials(partials, path, n_parts, completed_ids=list(range(n_parts)))
         return spark.read.parquet(path)
 
     with open(_manifest_path(path)) as f:
@@ -67,6 +83,7 @@ def resume_partials(
         )
     existing = spark.read.parquet(path)
     done_ids = {r[0] for r in existing.select("partition_id").distinct().collect()}
+    done_ids |= set(manifest.get("completed", []))
     missing = sorted(set(range(n_parts)) - done_ids)
     if not missing:
         return existing
@@ -89,6 +106,17 @@ def resume_partials(
     gated = pruned.mapInPandas(gate, schema=pruned.schema)
     fresh = partial_sketches(gated, value_col, group_cols, factory)
     fresh.write.mode("append").parquet(path)
+    # record the recomputed partitions as complete — empty partitions leave
+    # no rows, so the parquet alone can never prove completeness
+    with open(_manifest_path(path), "w") as f:
+        json.dump(
+            {
+                "num_input_partitions": n_parts,
+                "completed": sorted(done_ids | missing_set),
+                "version": 2,
+            },
+            f,
+        )
     return spark.read.parquet(path)
 
 

@@ -2,14 +2,23 @@
 
 The reference is one-pass/streaming algorithmically (bounded memory, single
 scan, mergeable summaries) but has no streaming runtime (SURVEY.md §2.2);
-here the same UDDSketch kernel drops into `applyInPandasWithState`: the
-sketch state IS the stream state — fixed-size, mergeable across triggers,
+here the same kernels drop into `applyInPandasWithState`: the sketch state
+IS the stream state — fixed-size per group, mergeable across triggers,
 resumable via Spark's checkpointLocation.
 
 Per trigger and group: deserialize prior state -> vectorized update with the
-micro-batch's rows -> emit (group, quantiles, n, buckets, collapses) -> store
-new state. Late data needs no special handling (updates commute); watermarks
-only bound state retention for expiring groups.
+micro-batch's rows -> emit finalized row -> store new state. Late data needs
+no special handling (updates commute).
+
+State retention: by default state lives for the lifetime of the query (one
+blob per ever-seen group — bounded only if the group-key cardinality is).
+Pass ``state_ttl_ms`` to expire idle groups via ProcessingTimeTimeout: a
+group with no new rows for that long is removed from the state store (its
+sketch restarts from empty if the key reappears).
+
+Gotcha: with a TTL set, Spark schedules micro-batches continuously to honor
+processing-time timeouts, so ``query.processAllAvailable()`` never settles —
+observe via the memory sink / ``lastProgress`` (state row counts) instead.
 """
 
 from __future__ import annotations
@@ -25,7 +34,6 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -33,6 +41,8 @@ from pyspark.sql.types import (
 from ..core.uddsketch import UDDSketch
 
 __all__ = ["udds_state_update", "streaming_udds_quantiles", "streaming_sketch"]
+
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
 
 
 def _group_fields(stream_df: DataFrame, group_cols: Sequence[str]):
@@ -42,80 +52,11 @@ def _group_fields(stream_df: DataFrame, group_cols: Sequence[str]):
     return [by_name[c] for c in group_cols]
 
 
-def _output_schema(stream_df: DataFrame, group_cols: Sequence[str], qs: Sequence[float]) -> StructType:
-    return StructType(
-        _group_fields(stream_df, group_cols)
-        + [StructField(f"p{str(q).replace('.', '_')}", DoubleType(), True) for q in qs]
-        + [
-            StructField("n", LongType(), False),
-            StructField("buckets", IntegerType(), False),
-            StructField("collapses", IntegerType(), False),
-        ]
-    )
-
-
-_STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
-
-
-def udds_state_update(
-    group_cols: Sequence[str],
-    value_col: str,
-    qs: Sequence[float],
-    alpha: float = 0.01,
-    m: int = 200,
-):
-    """Build the applyInPandasWithState update function (testable standalone)."""
-    qs = [float(q) for q in qs]
-    group_cols = list(group_cols)
-
-    def update(
-        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            (blob,) = state.get
-            sk = UDDSketch.from_bytes(bytes(blob))
-        else:
-            sk = UDDSketch(initial_alpha=alpha, m=m)
-        for pdf in pdfs:
-            sk.update(pdf[value_col].to_numpy(dtype="float64", na_value=np.nan))
-        state.update((sk.to_bytes(),))
-        row = tuple(key) + tuple(float(sk.quantile(q)) for q in qs) + (
-            sk.count,
-            sk.num_buckets,
-            sk.num_collapses,
-        )
-        yield pd.DataFrame(
-            [row],
-            columns=group_cols
-            + [f"p{str(q).replace('.', '_')}" for q in qs]
-            + ["n", "buckets", "collapses"],
-        )
-
-    return update
-
-
-def streaming_sketch(
-    stream_df: DataFrame,
-    value_col: str,
-    group_cols: Sequence[str],
-    factory,
-    from_bytes,
-    finalize,
-    finalize_schema: StructType,
-):
-    """Generic stateful streaming aggregation for ANY mergeable kernel.
-
-    ``finalize(sketch) -> tuple`` produces the per-trigger output row (must
-    match ``finalize_schema``, which excludes the group columns — they are
-    prepended automatically). State = the kernel blob; HLL distinct counts,
-    CMS frequencies, t-digest quantiles etc. all drop in unchanged.
-    """
-    group_cols = list(group_cols)
-    out_schema = StructType(
-        _group_fields(stream_df, group_cols) + list(finalize_schema.fields)
-    )
-
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+def _make_update(value_col, factory, from_bytes, finalize, out_columns, state_ttl_ms):
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle group: evict the sketch blob
+            return
         if state.exists:
             (blob,) = state.get
             sk = from_bytes(bytes(blob))
@@ -128,17 +69,75 @@ def streaming_sketch(
             else:
                 sk.update(col.dropna().to_numpy())
         state.update((sk.to_bytes(),))
-        yield pd.DataFrame(
-            [tuple(key) + tuple(finalize(sk))],
-            columns=[f.name for f in out_schema.fields],
-        )
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame([tuple(key) + tuple(finalize(sk))], columns=out_columns)
 
+    return update
+
+
+def streaming_sketch(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    factory,
+    from_bytes,
+    finalize,
+    finalize_schema: StructType,
+    state_ttl_ms: int | None = None,
+):
+    """Generic stateful streaming aggregation for ANY mergeable kernel.
+
+    ``finalize(sketch) -> tuple`` produces the per-trigger output row (must
+    match ``finalize_schema``, which excludes the group columns — they are
+    prepended automatically). State = the kernel blob; HLL distinct counts,
+    CMS frequencies, t-digest quantiles etc. all drop in unchanged.
+    """
+    group_cols = list(group_cols)
+    out_schema = StructType(
+        _group_fields(stream_df, group_cols) + list(finalize_schema.fields)
+    )
+    update = _make_update(
+        value_col, factory, from_bytes, finalize,
+        [f.name for f in out_schema.fields], state_ttl_ms,
+    )
     return stream_df.groupBy(*group_cols).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def udds_state_update(
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    alpha: float = 0.01,
+    m: int = 200,
+    state_ttl_ms: int | None = None,
+):
+    """Build the UDDSketch applyInPandasWithState update function (testable
+    standalone; the streaming wiring lives in streaming_sketch)."""
+    qs = [float(q) for q in qs]
+    cols = (
+        list(group_cols)
+        + [f"p{str(q).replace('.', '_')}" for q in qs]
+        + ["n", "buckets", "collapses"]
+    )
+    return _make_update(
+        value_col,
+        lambda: UDDSketch(initial_alpha=alpha, m=m),
+        UDDSketch.from_bytes,
+        lambda sk: tuple(float(sk.quantile(q)) for q in qs)
+        + (sk.count, sk.num_buckets, sk.num_collapses),
+        cols,
+        state_ttl_ms,
     )
 
 
@@ -149,18 +148,32 @@ def streaming_udds_quantiles(
     qs: Iterable[float] = (0.5, 0.9, 0.99),
     alpha: float = 0.01,
     m: int = 200,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Running per-group quantiles over a stream (update output mode).
 
     State per group is one sketch blob (~16*m bytes) — bounded regardless of
-    stream length; Spark checkpoints it, so restarts resume exactly.
+    stream length; Spark checkpoints it, so restarts resume exactly. Total
+    state is one blob per live group; use ``state_ttl_ms`` when the group-key
+    cardinality is unbounded.
     """
     qs = list(qs)
-    fn = udds_state_update(group_cols, value_col, qs, alpha, m)
-    return stream_df.groupBy(*group_cols).applyInPandasWithState(
-        fn,
-        outputStructType=_output_schema(stream_df, group_cols, qs),
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    finalize_schema = StructType(
+        [StructField(f"p{str(q).replace('.', '_')}", DoubleType(), True) for q in qs]
+        + [
+            StructField("n", LongType(), False),
+            StructField("buckets", IntegerType(), False),
+            StructField("collapses", IntegerType(), False),
+        ]
+    )
+    return streaming_sketch(
+        stream_df,
+        value_col,
+        group_cols,
+        factory=lambda: UDDSketch(initial_alpha=alpha, m=m),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: tuple(float(sk.quantile(q)) for q in qs)
+        + (sk.count, sk.num_buckets, sk.num_collapses),
+        finalize_schema=finalize_schema,
+        state_ttl_ms=state_ttl_ms,
     )

@@ -77,3 +77,10 @@ def test_int_keys_roundtrip():
     sk = MisraGries(k=16).update(np.array([7, 7, 9], dtype=np.int64))
     rt = MisraGries.from_bytes(sk.to_bytes())
     assert rt.estimate(7)[0] == 2  # int key survives serde as int
+
+
+def test_bool_keys_roundtrip():
+    """Regression: bool keys were tagged 'i' and crashed from_bytes."""
+    sk = MisraGries(k=8).update(np.array([True, True, False], dtype=object))
+    rt = MisraGries.from_bytes(sk.to_bytes())
+    assert rt.estimate(True)[0] == 2 and rt.estimate(False)[0] == 1

@@ -284,3 +284,16 @@ def test_multimodal_plumbing(spark):
     assert out2["a"].feat == out["a"].feat
     assert frame_sample_plan(5000, fps_target=1.0) == [500, 1500, 2500, 3500, 4500]
     assert frame_sample_plan(0) == []
+
+
+def test_ngram_char_path_short_docs(spark):
+    """Regression: char-gram path must emit no grams for docs shorter than n
+    (a truncated gram made all empty docs jaccard-1.0 duplicates)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text=""), Row(doc_id=2, text="ab"),
+         Row(doc_id=3, text="abcdefgh"), Row(doc_id=4, text="abcdefgh")]
+    )
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.5, use_words=False).collect()
+    assert {(r.a, r.b) for r in out} == {(3, 4)}

@@ -76,3 +76,21 @@ def test_read_transcripts_schema_validation(spark, tmp_path):
     spark.range(5).write.parquet(path)
     with pytest.raises(ValueError, match="missing columns"):
         read_transcripts(spark, path)
+
+
+def test_req_tree_merge_stays_bounded():
+    """Regression: repeated tree merges must not grow level buffers past cap
+    (single-pass compaction left levels at 4x cap after 64-way fan-in)."""
+    rng = np.random.default_rng(7)
+    parts = [REQSketch(k=16).update(rng.uniform(0, 1, 2_000)) for _ in range(64)]
+    pool = parts
+    while len(pool) > 1:
+        pool = [
+            pool[i].merge(pool[i + 1]) if i + 1 < len(pool) else pool[i]
+            for i in range(0, len(pool), 2)
+        ]
+    merged = pool[0]
+    cap = 2 * merged.k
+    assert all(lv.size <= cap for lv in merged.levels), [lv.size for lv in merged.levels]
+    assert merged.n == 128_000
+    assert merged.quantile(1.0) == merged.vmax  # exact extreme clamp
