@@ -519,6 +519,41 @@ FROM documents GROUP BY source
 """
 
 
+def _normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on NORMALIZED text: formatting-perturbed copies (uppercased,
+    punctuated) must collapse onto their originals after normalize_text."""
+    from puddsketch_spark.ops.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!!")).alias("text"),
+    )
+    both = d.union(perturbed).withColumn("text_norm", normalize_text("text"))
+    return both.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text_norm").alias("n_norm_unique"),
+        F.count_distinct(F.md5("text")).alias("n_raw_unique"),
+    )
+
+
+_NORM_SQL = """
+WITH doubled AS (
+  SELECT text FROM documents
+  UNION ALL SELECT upper(text) || '!!!' FROM documents
+),
+n AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS text_norm,
+         md5(text) AS raw_h
+  FROM doubled
+)
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text_norm) AS n_norm_unique,
+       COUNT(DISTINCT raw_h) AS n_raw_unique
+FROM n
+"""
+
+
 def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting + type/token stats per language."""
     d = _t(spark, sf_dir, "documents")
@@ -804,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_volume": _q5_nation_volume,
         "udds_by_flag_status": _udds_by_flag_status,
         "dedup_exact_documents": _dedup_exact_documents,
+        "normalized_dedup_docs": _normalized_dedup_docs,
         "doc_token_stats": _doc_token_stats,
         "hll_users_by_type": _hll_users_by_type,
         "cms_event_type_freq": _cms_event_type_freq,
@@ -837,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_volume": _Q5_SQL,
         "udds_by_flag_status": _UDDS2_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
+        "normalized_dedup_docs": _NORM_SQL,
         "doc_token_stats": _TOKEN_SQL,
         "hll_users_by_type": _HLL_SQL,
         "cms_event_type_freq": _CMS_SQL,

@@ -22,6 +22,7 @@ from .dedup import _batch_shingle_hashes
 __all__ = [
     "token_count",
     "bpe_ish_token_count",
+    "normalize_text",
     "with_quality_score",
     "with_lang_id",
     "winnowing_fingerprints",
@@ -47,6 +48,18 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
     """
     pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     return F.regexp_count(F.col(text_col), F.lit(pat)).alias("n_bpe_tokens")
+
+
+# ---------------------------------------------------------------- normalize
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text normalization for dedup/compare (codegen'd):
+    lowercase, strip punctuation/symbols to spaces, collapse whitespace,
+    trim. The standard pre-pass before exact/fuzzy dedup so trivial
+    formatting differences don't defeat content hashing."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t).alias("text_norm")
 
 
 # ---------------------------------------------------------------- quality
