@@ -29,6 +29,8 @@ __all__ = [
     "bloom_states",
     "tdigest_quantiles",
     "kll_quantiles",
+    "heavy_hitters_global",
+    "heavy_hitters_grouped",
 ]
 
 
@@ -83,6 +85,48 @@ def bloom_states(
 ) -> DataFrame:
     factory = lambda: BloomFilter(num_bits=num_bits, num_hashes=num_hashes)  # noqa: E731
     return sketch_grouped(df, col, group_cols, factory, BloomFilter.from_bytes)
+
+
+# ---------------------------------------------------------------- heavy hitters
+def heavy_hitters_global(
+    df: DataFrame, col: str, k: int = 64, phi: float = 0.01
+):
+    """Frequent items of ``col`` (driver-side dict key -> lower-bound count).
+    Guaranteed superset of the true phi-heavy-hitters when phi > 1/(k+1)."""
+    from ..core.heavyhitters import MisraGries
+
+    sk = sketch_global(df, col, lambda: MisraGries(k=k), MisraGries.from_bytes)
+    return sk.heavy_hitters(phi)
+
+
+def heavy_hitters_grouped(
+    df: DataFrame, col: str, group_cols: Sequence[str], k: int = 64, phi: float = 0.01
+) -> DataFrame:
+    """Per-group frequent items: DataFrame[group..., item, count_lo, err]."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..core.heavyhitters import MisraGries
+
+    merged = sketch_grouped(df, col, group_cols, lambda: MisraGries(k=k),
+                            MisraGries.from_bytes)
+    group_fields = [f for f in merged.schema.fields if f.name in group_cols]
+    schema = StructType(
+        group_fields
+        + [
+            StructField("item", StringType(), True),
+            StructField("count_lo", LongType(), False),
+            StructField("err", LongType(), False),
+        ]
+    )
+
+    def explode_hh(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = MisraGries.from_bytes(pdf["state"].iloc[0])
+        key = tuple(pdf[g].iloc[0] for g in group_cols)
+        hits = sk.heavy_hitters(phi)
+        rows = [key + (str(item), int(c), int(sk.err)) for item, c in sorted(hits.items())]
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return merged.groupBy(*group_cols).applyInPandas(explode_hh, schema=schema)
 
 
 # ---------------------------------------------------------------- quantiles

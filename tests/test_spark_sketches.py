@@ -67,3 +67,22 @@ def test_tdigest_and_kll_grouped(spark):
         for (role, q), x in exact.items():
             # uniform(1,1000): value error ~ rank error * range
             assert abs(est[(role, q)] - x) <= tol * 1000 + 1, (fn.__name__, role, q)
+
+
+def test_heavy_hitters_grouped(spark):
+    from puddsketch_spark import heavy_hitters_grouped, heavy_hitters_global
+
+    t = transcripts(spark, n_conv=400, avg_turns=8, seed=12).where("tool is not null")
+    out = heavy_hitters_grouped(t, "tool", ["role"], k=16, phi=0.05).collect()
+    exact = {
+        (r.role, r.tool): r["count"]
+        for r in t.groupBy("role", "tool").count().collect()
+    }
+    assert len(out) > 0
+    for r in out:
+        # bracket: count_lo <= exact <= count_lo + err
+        assert r.count_lo <= exact[(r.role, r.item)] <= r.count_lo + r.err
+    # global helper + top-level re-export
+    hh = heavy_hitters_global(t, "tool", k=16, phi=0.1)
+    assert set(hh) <= {"search", "python", "browser", "editor"}
+    assert len(hh) >= 1
