@@ -131,12 +131,15 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def _q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join with broadcast dims; deterministic top-10."""
+    """3-way join; only the filtered DIM (customer) is broadcast-hinted.
+    orders is fact-sized — at 100x it does not fit in an executor, so the
+    orders<->lineitem join carries no hint and AQE picks the strategy
+    (shuffle join at scale, runtime broadcast if stats allow)."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -159,16 +162,19 @@ LIMIT 10
 
 
 def _q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-flavored 5-way join: revenue by nation, all dims broadcast."""
+    """TPC-H Q5-flavored 5-way join: revenue by nation. Only nation (25 rows,
+    SF-invariant) carries a broadcast hint; orders/customer/supplier all
+    scale with the data and are left to AQE (shuffle joins at 100x, runtime
+    broadcast when small enough)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

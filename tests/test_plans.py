@@ -31,12 +31,40 @@ def test_q1_pushes_filter_and_prunes_columns(spark):
     assert "l_quantity" in read and "l_orderkey" not in read
 
 
+def test_q3_q5_broadcast_dims_only(spark):
+    """The 100x-safe join strategy: with size-based auto-broadcast disabled
+    (the situation at 100x scale, where every fact table exceeds the
+    threshold), ONLY the explicitly hinted dims are broadcast; fact-fact
+    joins fall back to shuffle joins instead of a fact-table broadcast."""
+    def tree(plan: str) -> str:
+        # the node tree before the per-node details (each node appears twice
+        # in "formatted" output: once in the tree, once in the detail list)
+        return plan.split("\n\n")[0]
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q3 = tree(_plan(entry.queries()["q3_top_revenue_orders"](spark, SF)))
+        # exactly one broadcast: the filtered customer dim
+        assert q3.count("BroadcastExchange") == 1
+        assert "SortMergeJoin" in q3  # lineitem<->orders shuffles, no hint
+        # top-k compiles to TakeOrdered, not a global sort
+        assert "TakeOrderedAndProject" in q3
+
+        q5 = tree(_plan(entry.queries()["q5_nation_volume"](spark, SF)))
+        # exactly one broadcast: nation (25 rows, SF-invariant)
+        assert q5.count("BroadcastExchange") == 1
+        assert q5.count("SortMergeJoin") == 3  # supp/orders/cust all shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_q3_uses_broadcast_joins(spark):
+    """At test scale (auto-broadcast on) the small sides still broadcast —
+    AQE/stats pick it, not a fact-table hint."""
     df = entry.queries()["q3_top_revenue_orders"](spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    # top-k compiles to TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
 
 
