@@ -776,7 +776,7 @@ SELECT lang, {case} AS lang_pred, COUNT(*) AS n FROM s GROUP BY lang, lang_pred
 def _minhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH recall oracle: double the corpus with exact copies; every original
     must pair with its copy at est_jaccard 1.0."""
-    from puddsketch_spark.ops.dedup import minhash_dedup_pairs
+    from puddsketch_spark.ops.dedup import minhash_dedup_pairs, release_cached
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
@@ -787,6 +787,7 @@ def _minhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_self = pairs.where(
         (F.col("b") - F.col("a") == 1_000_000) & (F.col("est_jaccard") == 1.0)
     ).count()
+    release_cached(pairs)
     return spark.createDataFrame(
         [(int(n_docs), int(n_self), bool(n_self == n_docs))],
         "n_docs long, n_self_pairs long, recall_ok boolean",
@@ -799,7 +800,7 @@ SELECT COUNT(*) AS n_docs, COUNT(*) AS n_self_pairs, TRUE AS recall_ok FROM docu
 
 
 def _simhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from puddsketch_spark.ops.dedup import simhash_near_dups
+    from puddsketch_spark.ops.dedup import release_cached, simhash_near_dups
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
@@ -807,6 +808,7 @@ def _simhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_near_dups(doubled, max_hamming=0)
     n_docs = d.count()
     n_self = pairs.where(F.col("b") - F.col("a") == 1_000_000).count()
+    release_cached(pairs)
     return spark.createDataFrame(
         [(int(n_docs), int(n_self), bool(n_self == n_docs))],
         "n_docs long, n_self_pairs long, recall_ok boolean",

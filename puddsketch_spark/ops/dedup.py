@@ -40,6 +40,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
+    "release_cached",
     "simhash_bits",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
@@ -111,7 +112,10 @@ def minhash_signatures(
     """DataFrame[id, sig:array<bigint>] of minhash signatures.
 
     Permutations are splitmix64 remixes of the shingle hash (standard
-    one-hash + k-mix minhash). Docs with zero shingles (shorter than
+    one-hash + k-mix minhash): mixed_j = splitmix64(h ^ seed_j) >> 1. A bare
+    XOR-translate is a weak min-wise family (positions correlate across
+    seeds, biasing est_jaccard for partial overlaps); the splitmix64
+    finalizer decorrelates the seeds. Docs with zero shingles (shorter than
     shingle_k) get a NULL signature — a shared sentinel would make every
     short doc a "perfect duplicate" of every other and dedup would delete
     unrelated documents.
@@ -136,7 +140,8 @@ def minhash_signatures(
                 starts_ne = doc_starts[nonempty]
                 with np.errstate(over="ignore"):
                     for j, seed in enumerate(seeds):
-                        mixed = (hashes ^ seed) >> _U64(1)  # keep in int64 range
+                        # >> 1 keeps the value in int64 range for the column
+                        mixed = splitmix64(hashes ^ seed) >> _U64(1)
                         mins = np.minimum.reduceat(mixed, starts_ne)
                         sigs[nonempty, j] = mins.astype(np.int64)
             empty = set(range(len(texts))) - set(nonempty.tolist())
@@ -146,22 +151,41 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the intermediate caches attached to a pairs DataFrame by
+    lsh_candidate_pairs / embedding_near_dups. Call after the pairs have
+    been materialized (count/write/collect); long-lived sessions running
+    many dedup jobs would otherwise accumulate cached signature tables."""
+    for cached in getattr(df, "_puddsketch_cached", ()):
+        cached.unpersist()
+
+
+def _attach_cached(df: DataFrame, cached) -> DataFrame:
+    df._puddsketch_cached = tuple(cached)
+    return df
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
 
-    Shuffle is on (band, band_hash) — collisions only; never an all-pairs
-    join. Returns DataFrame[a, b] with a < b, plus the estimated jaccard from
-    full-signature agreement.
+    Shuffle discipline (the heaviest stage of the dedup pipeline at scale):
+    the exploded band self-join carries ONLY (band, band_hash, id) — never
+    the num_perm x 8 B signature arrays, which a naive fat join would
+    duplicate bands-times across the wire. Signatures are joined back to the
+    deduplicated (a, b) pairs exactly once each side for the agreement
+    estimate (collision pairs are orders of magnitude fewer than banded
+    rows). Returns DataFrame[a, b, est_jaccard] with a < b; call
+    release_cached(result) after materializing to drop the signature cache.
     """
     from pyspark.sql.types import DoubleType as _D, StructField as _SF, StructType as _ST
 
     id_type = sigs.schema[id_col].dataType
     # zero-shingle docs carry NULL signatures and cannot be near-dups.
-    # persist BEFORE first() so the probe populates the cache the self-join
-    # reuses (first-then-persist recomputed the shingling). The cache is
-    # intentionally left alive: the returned DataFrame references it lazily.
+    # persist BEFORE first() so the probe populates the cache that the
+    # banding and both signature re-joins reuse (recomputing the shingling
+    # three times would dominate the job).
     sigs = sigs.where(F.col("sig").isNotNull()).persist()
     first = sigs.select("sig").first()
     if first is None:
@@ -174,30 +198,31 @@ def lsh_candidate_pairs(
     rows = num_perm // bands
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.posexplode(
             F.array(
                 *[F.xxhash64(F.slice("sig", i * rows + 1, rows)) for i in range(bands)]
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.select(
-        F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
+    left = banded.select(F.col(id_col).alias("a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_hash")
     pairs = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    # estimated jaccard = fraction of agreeing signature positions (JVM-side)
+    # estimated jaccard = fraction of agreeing signature positions (JVM-side);
+    # signatures join back to the slim pair list once per side
+    sig_a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     agree = F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda s: s.sig_a == s.sig_b))
-    return pairs.select(
-        "a", "b", (agree / F.lit(float(num_perm))).alias("est_jaccard")
+    out = (
+        pairs.join(sig_a, "a")
+        .join(sig_b, "b")
+        .select("a", "b", (agree / F.lit(float(num_perm))).alias("est_jaccard"))
     )
+    return _attach_cached(out, [sigs])
 
 
 def minhash_dedup_pairs(
@@ -209,10 +234,14 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """End-to-end: near-dup pairs with estimated jaccard >= threshold."""
+    """End-to-end: near-dup pairs with estimated jaccard >= threshold.
+    Call release_cached(result) after materializing to drop the signature
+    cache."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    return lsh_candidate_pairs(sigs, id_col, bands).where(
-        F.col("est_jaccard") >= threshold
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    return _attach_cached(
+        pairs.where(F.col("est_jaccard") >= threshold),
+        getattr(pairs, "_puddsketch_cached", ()),
     )
 
 
@@ -296,13 +325,16 @@ def simhash_near_dups(
     a = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         a.join(b, ["chunk_idx", "chunk"])
         .where(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
         .select("a", "b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+    # the join payload is one 8-byte long per side (no fat columns), so the
+    # fat-join restructure is unnecessary here; only the cache needs a release
+    return _attach_cached(out, [sh])
 
 
 # ---------------------------------------------------------------- n-gram jaccard
@@ -491,19 +523,30 @@ def embedding_near_dups(
             bits.append(F.when(dot >= 0, "1").otherwise("0"))
         return F.concat(*bits)
 
-    tagged = df.select(
+    # the banded self-join carries only (band, sig, id); vectors join back to
+    # the deduplicated candidate pairs once per side for the exact-cosine
+    # verify (same shuffle discipline as lsh_candidate_pairs)
+    vecs = df.select(id_col, vec_col).persist()
+    tagged = vecs.select(
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(F.array(*[band_sig(b) for b in range(num_bands)])).alias(
             "band", "sig"
         ),
-    ).persist()
-    a = tagged.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "band", "sig")
-    b = tagged.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "band", "sig")
-    return (
+    )
+    a = tagged.select(F.col(id_col).alias("a"), "band", "sig")
+    b = tagged.select(F.col(id_col).alias("b"), "band", "sig")
+    pairs = (
         a.join(b, ["band", "sig"])
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    va = vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    out = (
+        pairs.join(va, "a")
+        .join(vb, "b")
         .select("a", "b", _cosine_expr("va", "vb").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    return _attach_cached(out, [vecs])

@@ -100,6 +100,36 @@ def test_arrow_pipeline_shuffles_blobs_not_rows(spark):
     assert "state" in exchange_detail.split("Arguments")[0]
 
 
+def test_lsh_band_join_excludes_signatures(spark):
+    """The exploded band self-join (the heaviest dedup shuffle) must carry
+    only (band, band_hash, id) — duplicating full num_perm x 8 B signatures
+    bands-times across the exchange is the scale-killer this pins against."""
+    from puddsketch_spark.ops.dedup import minhash_dedup_pairs, release_cached
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    # at test scale the tiny band table would broadcast; force the shuffle
+    # join the band join becomes at 100x so the exchange payload is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        pairs = minhash_dedup_pairs(d, num_perm=32, bands=8, threshold=0.5)
+        plan = _plan(pairs)
+        # every exchange hash-partitioned on the band key must not carry sig
+        found_band_exchange = False
+        for seg in plan.split("\n\n"):
+            if not seg.startswith("(") or ") Exchange" not in seg.split("\n")[0]:
+                continue
+            if "hashpartitioning(band" not in seg:
+                continue
+            found_band_exchange = True
+            input_line = seg.split("Input")[1].split("\n")[0]
+            assert "sig" not in input_line, f"band exchange carries sigs: {input_line}"
+        assert found_band_exchange
+        release_cached(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_cosine_topk_is_take_ordered(spark):
     from puddsketch_spark.ops.similarity import cosine_topk
 
