@@ -625,6 +625,100 @@ FROM qs CROSS JOIN nn
 """
 
 
+_DDOG_BOUND = 128
+
+
+def _ddsketch_ddog_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDOG pair-collapse (both LowBins and HighBins flavors,
+    ArraySketch.cc:212-443) exercised deterministically: the fill is the JVM
+    Tungsten bucket histogram (bit-exact global key counts), then ONE batch
+    fold to the bound per mode, then quantiles + the [q0, q1] accurate-range
+    report (ParallelSketcher.cc:920-1028). The oracle replays the edge fold
+    (excess bins merge into the boundary bin) and the rank walk bit-for-bit."""
+    import numpy as np
+
+    from puddsketch_spark.core.ddsketch import DDSketchPair
+    from puddsketch_spark.spark.agg import udds_bucket_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    buckets = udds_bucket_counts(li, "l_extendedprice", (), _A).collect()
+    live = sorted((r["_bkey"], r["_bcnt"]) for r in buckets if r["_bkey"] is not None)
+    keys = np.array([k for k, _ in live], dtype=np.int64)
+    counts = np.array([c for _, c in live], dtype=np.int64)
+    rows = []
+    qs = (0.01, 0.5, 0.9, 0.99)
+    for mode in ("ddog_low", "ddog_high"):
+        sk = DDSketchPair(
+            initial_alpha=_A, m=_DDOG_BOUND, collapse_mode=mode,
+            pos_keys=keys.copy(), pos_counts=counts.copy(),
+        )
+        sk._enforce_bound()
+        q0, q1 = sk.accurate_range()
+        fence = sk.fence_pos
+        for q in qs:
+            rows.append((
+                mode, float(q), float(sk.quantile(q)), int(sk.count),
+                int(sk.num_buckets), None if fence is None else int(fence),
+                float(q0), float(q1),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "mode string, q double, est double, n long, n_buckets int, "
+        "fence_key long, q0 double, q1 double",
+    )
+
+
+_DDOG_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+),
+b AS (SELECT k, COUNT(*) AS c FROM keyed GROUP BY k),
+meta AS (SELECT COUNT(*) AS nb, SUM(c) AS n,
+                greatest(COUNT(*) - {_DDOG_BOUND}, 0) AS f FROM b),
+r AS (SELECT k, c, row_number() OVER (ORDER BY k) AS rn FROM b),
+modes AS (SELECT * FROM (VALUES ('ddog_low'), ('ddog_high')) AS t(mode)),
+-- the fold target: LowBins merges the lowest f+1 bins into the (f+1)-th key,
+-- HighBins merges the highest f+1 bins into the (nb-f)-th key
+fences AS (
+  SELECT m.mode,
+         CASE WHEN meta.f = 0 THEN NULL
+              WHEN m.mode = 'ddog_low'
+              THEN (SELECT k FROM r WHERE r.rn = meta.f + 1)
+              ELSE (SELECT k FROM r WHERE r.rn = meta.nb - meta.f) END AS fence_key
+  FROM modes m CROSS JOIN meta
+),
+fb AS (
+  SELECT fe.mode,
+         CASE WHEN fe.fence_key IS NULL THEN r.k
+              WHEN fe.mode = 'ddog_low' AND r.rn <= meta.f + 1 THEN fe.fence_key
+              WHEN fe.mode = 'ddog_high' AND r.rn >= meta.nb - meta.f THEN fe.fence_key
+              ELSE r.k END AS k2,
+         r.c
+  FROM r CROSS JOIN meta JOIN fences fe ON TRUE
+),
+g AS (SELECT mode, k2 AS k, SUM(c) AS c FROM fb GROUP BY mode, k2),
+cum AS (SELECT mode, k, c, SUM(c) OVER (PARTITION BY mode ORDER BY k) AS cumc FROM g),
+qs AS (SELECT * FROM (VALUES (0.01e0),(0.5e0),(0.9e0),(0.99e0)) AS t(q))
+SELECT fe.mode AS mode, qs.q AS q,
+       power({_G_SQL},
+             (SELECT MIN(k) FROM cum
+              WHERE cum.cumc > CAST(floor(qs.q * (meta.n - 1)) AS BIGINT)
+                AND cum.mode = fe.mode))
+         * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       CAST(meta.n AS BIGINT) AS n,
+       CAST(least(meta.nb, {_DDOG_BOUND}) AS INT) AS n_buckets,
+       fe.fence_key AS fence_key,
+       CASE WHEN fe.mode = 'ddog_low' AND fe.fence_key IS NOT NULL
+            THEN (SELECT c FROM g WHERE g.mode = fe.mode AND g.k = fe.fence_key) / (1.0 * meta.n)
+            ELSE 0.0e0 END AS q0,
+       CASE WHEN fe.mode = 'ddog_high' AND fe.fence_key IS NOT NULL
+            THEN 1.0e0 - (SELECT c FROM g WHERE g.mode = fe.mode AND g.k = fe.fence_key) / (1.0 * meta.n)
+            ELSE 1.0e0 END AS q1
+FROM fences fe CROSS JOIN meta CROSS JOIN qs
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup / similarity / text-analysis operators
 # --------------------------------------------------------------------------
@@ -912,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price_rank": _tdigest_price_rank,
         "req_price_rank": _req_price_rank,
         "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
+        "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
@@ -946,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_price_rank": _RANK_SQL,
         "req_price_rank": _RANK_SQL,
         "ddsketch_signed_quantiles": _DD_SQL,
+        "ddsketch_ddog_quantiles": _DDOG_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,

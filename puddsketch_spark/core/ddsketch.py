@@ -27,10 +27,10 @@ __all__ = ["DDSketchPair"]
 
 _EMPTY = np.empty(0, dtype=np.int64)
 # init_alpha, alpha, m, collapses, zero, n_pos, n_neg, mode, pair_collapses,
-# fence_neg, fence_pos (fence sentinel: _NOFENCE = None)
-_HEADER_FMT = "<ddiiqqqiiqq"
+# fence_neg, fence_pos (fence sentinel: _NOFENCE = None), min_value, max_value
+_HEADER_FMT = "<ddiiqqqiiqqdd"
 _NOFENCE = -(2**62)
-_MODES = {"uniform": 0, "ddog_low": 1}
+_MODES = {"uniform": 0, "ddog_low": 1, "ddog_high": 2}
 _MODES_INV = {v: k for k, v in _MODES.items()}
 
 
@@ -67,15 +67,25 @@ class DDSketchPair:
     pos_counts: np.ndarray = field(default_factory=lambda: _EMPTY.copy())
     neg_keys: np.ndarray = field(default_factory=lambda: _EMPTY.copy())
     neg_counts: np.ndarray = field(default_factory=lambda: _EMPTY.copy())
-    # "uniform" = UDD-flavor collapse (gamma widens, error bound alpha' grows)
-    # "ddog_low" = DataDog-original LowBins pair collapse (MapSketch.cc:87-247):
-    #   gamma fixed; excess bins fold pairwise from the low end of the value
-    #   axis (highest-|key| negative bins first, then lowest positive bins),
-    #   fencing keys track where estimates stop being alpha-accurate
+    # "uniform"   = UDD-flavor collapse (gamma widens, error bound alpha' grows)
+    # "ddog_low"  = DataDog-original LowBins pair collapse (MapSketch.cc:87-247,
+    #   ArraySketch.cc:212-443 LowBins branch): gamma fixed; excess bins fold
+    #   pairwise from the LOW end of the value axis (highest-|key| negative
+    #   bins first down to one bin, then lowest positive bins)
+    # "ddog_high" = HighBins branch (ArraySketch.cc:315-380): excess bins fold
+    #   from the HIGH end (highest positive keys first down to one non-B* bin,
+    #   then lowest-|key| negative bins)
+    # In both ddog modes B* is never collapsed but counts toward the m bound
+    # (the reference keeps B* inside the positive array: ArraySketch.cc:224-231).
+    # fence_* = key of the trash bin that last absorbed folded mass in that
+    # store (None if never folded); accurate_range()/collapsed_alpha() report
+    # the q0/q1 accuracy window like ParallelSketcher.cc:920-1028.
     collapse_mode: str = "uniform"
     pair_collapses: int = 0
     fence_neg: int | None = None
     fence_pos: int | None = None
+    min_value: float = float("nan")
+    max_value: float = float("nan")
 
     @property
     def gamma0(self) -> float:
@@ -108,6 +118,9 @@ class DDSketchPair:
         v = v[~np.isnan(v)]
         if v.size == 0:
             return self
+        lo, hi = float(v.min()), float(v.max())
+        self.min_value = lo if np.isnan(self.min_value) else min(self.min_value, lo)
+        self.max_value = hi if np.isnan(self.max_value) else max(self.max_value, hi)
         near_zero = np.abs(v) < MIN_ADDRESSABLE
         self.zero_count += int(near_zero.sum())
         v = v[~near_zero]
@@ -133,18 +146,27 @@ class DDSketchPair:
         if self.collapse_mode == "ddog_low":
             self._ddog_low_collapse()
             return
+        if self.collapse_mode == "ddog_high":
+            self._ddog_high_collapse()
+            return
         while self.m > 0 and self.num_buckets > self.m:
             self.collapse(1)
 
+    def _ddog_excess(self) -> int:
+        # reference parity: B* lives in the positive array and consumes one
+        # slot of the bound even though it is never collapsed
+        # (ArraySketch.cc:224-231, loop condition at :247)
+        return self.num_buckets + (1 if self.zero_count > 0 else 0) - self.m
+
     def _ddog_low_collapse(self) -> None:
         """Batch-exact equivalent of the reference's sequential LowBins pair
-        collapse (MapSketch.cc:87-247): while over bound, fold the highest-key
-        negative bin into its neighbor (= lowest VALUES merge upward); once
-        the negative store is down to <=1 bin, fold the lowest-key positive
-        bins. B* (our zero_count) is never touched."""
+        collapse (MapSketch.cc:87-247, ArraySketch.cc:247-318): while over
+        bound, fold the highest-key negative bin into its neighbor (= lowest
+        VALUES merge upward); once the negative store is down to one bin,
+        fold the lowest-key positive bins. B* is never collapsed."""
         if self.m <= 0:
             return
-        excess = self.num_buckets - self.m
+        excess = self._ddog_excess()
         if excess <= 0:
             return
         # negative store: can give up (sizen - 1) bins
@@ -168,6 +190,36 @@ class DDSketchPair:
             self.fence_pos = int(self.pos_keys[0])
             self.pair_collapses += give_p
 
+    def _ddog_high_collapse(self) -> None:
+        """HighBins mirror (ArraySketch.cc:315-380): while over bound, fold
+        the highest-key positive bin into its lower neighbor (highest VALUES
+        merge downward); once the positive store is down to one non-B* bin,
+        fold the lowest-|key| negative bins (the highest-value negatives).
+        B* is never collapsed."""
+        if self.m <= 0:
+            return
+        excess = self._ddog_excess()
+        if excess <= 0:
+            return
+        give_p = min(excess, max(self.pos_keys.size - 1, 0))
+        if give_p > 0:
+            keep = self.pos_keys.size - give_p
+            folded = int(self.pos_counts[keep - 1 :].sum())
+            self.pos_keys = self.pos_keys[:keep]
+            self.pos_counts = self.pos_counts[:keep].copy()
+            self.pos_counts[-1] = folded
+            self.fence_pos = int(self.pos_keys[-1])
+            self.pair_collapses += give_p
+            excess -= give_p
+        if excess > 0 and self.neg_keys.size > 1:
+            give_n = min(excess, self.neg_keys.size - 1)
+            folded = int(self.neg_counts[: give_n + 1].sum())
+            self.neg_keys = self.neg_keys[give_n:]
+            self.neg_counts = self.neg_counts[give_n:].copy()
+            self.neg_counts[0] = folded
+            self.fence_neg = int(self.neg_keys[0])
+            self.pair_collapses += give_n
+
     def collapse(self, n: int = 1) -> "DDSketchPair":
         """Uniform collapse of BOTH stores; B* is exempt (MapSketch.cc:43-83)."""
         if n <= 0:
@@ -179,16 +231,39 @@ class DDSketchPair:
 
     # -- merge ----------------------------------------------------------------
     def merge(self, other: "DDSketchPair") -> "DDSketchPair":
+        """Mergeable-summary union.
+
+        For the ddog modes this is the batch equivalent of the reference's
+        trash-bin reduce (Merger.cc:472-739 reduceOriginal +
+        optMergeBinsPosi/Nega :745-1472): the reference merge-joins into a
+        bound-width array and spills every key beyond the kept range into the
+        edge ("trash") bin, which is exactly absorb-then-fold-from-the-edge —
+        the staged per-store bounds (pos gets bound-1 first in LowBins, nega
+        first in HighBins) land on the same endpoint as the joint fold because
+        the collapse priority folds the secondary store to one bin before
+        touching the primary (property-tested against a sequential emulation
+        of the reference merge in tests/test_ddsketch_pair.py).
+        """
         if self.initial_alpha != other.initial_alpha:
             raise ValueError("Merging sketches have incompatible alpha values")
         if self.collapse_mode != other.collapse_mode:
             raise ValueError("Merging sketches have incompatible collapse modes")
         self.pair_collapses += other.pair_collapses
-        for attr in ("fence_neg", "fence_pos"):
+        # fences: keep the trash key covering the widest folded range
+        # (low mode folds upward into pos / downward into neg; high mode the
+        # mirror), so the combined fence stays conservative under any order
+        hi_pos = self.collapse_mode == "ddog_low"
+        for attr, take_max in (("fence_pos", hi_pos), ("fence_neg", not hi_pos)):
             o = getattr(other, attr)
             s = getattr(self, attr)
             if o is not None:
-                setattr(self, attr, o if s is None else max(s, o))
+                pick = (max if take_max else min)(s, o) if s is not None else o
+                setattr(self, attr, pick)
+        for attr, fn in (("min_value", min), ("max_value", max)):
+            o = getattr(other, attr)
+            s = getattr(self, attr)
+            if not np.isnan(o):
+                setattr(self, attr, o if np.isnan(s) else fn(s, o))
         a, b = self, other
         if a.num_collapses < b.num_collapses:
             a = a.copy().collapse(b.num_collapses - a.num_collapses)
@@ -241,6 +316,69 @@ class DDSketchPair:
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(q) for q in qs])
 
+    def accurate_range(self) -> tuple[float, float]:
+        """[q0, q1] quantile window where estimates are alpha-accurate,
+        mirroring the reference's DDOG accuracy bookkeeping
+        (ParallelSketcher.cc:920-1028): mass absorbed by the edge trash
+        bin(s) delimits the window. Uniform mode reports (0, 1) — its
+        accuracy degradation is global and carried by .alpha instead.
+        Unlike the reference (which forces the edge-bin check on every
+        report), we treat the edge bin as trash only when a pair collapse
+        actually happened."""
+        n = self.count
+        if n == 0 or self.pair_collapses == 0 or self.collapse_mode == "uniform":
+            return (0.0, 1.0)
+        npop = int(self.neg_counts.sum())
+        if self.collapse_mode == "ddog_low":
+            if npop == 0:
+                # ParallelSketcher.cc:943-959: trash = first positive bin,
+                # plus B* when present
+                t = self.zero_count + (int(self.pos_counts[0]) if self.pos_keys.size else 0)
+                return (t / n, 1.0)
+            pb = self.pos_keys.size + (1 if self.zero_count > 0 else 0)
+            if self.m - pb > 1:
+                # only the highest-key negative bin is trash (:963-969)
+                return (int(self.neg_counts[-1]) / n, 1.0)
+            # single negative bin left: its mass plus the first positive bin
+            # (and B*) may all be trash (:971-991)
+            t = int(self.neg_counts[-1]) + self.zero_count + (
+                int(self.pos_counts[0]) if self.pos_keys.size else 0
+            )
+            return (t / n, 1.0)
+        # ddog_high (:995-1026)
+        ppop = int(self.pos_counts.sum()) + self.zero_count
+        if ppop > 0:
+            # >= 2 real (non-B*) positive bins <=> the reference's
+            # (pb > 2) || (pb == 2 && posi[0] != B*) with pb counting B*:
+            # negatives never fold while that holds, so only the top positive
+            # bin is trash
+            if self.pos_keys.size >= 2:
+                return (0.0, 1.0 - int(self.pos_counts[-1]) / n)
+            # positives exhausted: the single positive bin, B*, and the
+            # lowest-|key| negative bin may all hold folded mass
+            t = self.zero_count + (int(self.pos_counts[-1]) if self.pos_keys.size else 0)
+            t += int(self.neg_counts[0]) if self.neg_keys.size else 0
+            return (0.0, 1.0 - t / n)
+        return (0.0, 1.0 - (int(self.neg_counts[0]) / n if self.neg_keys.size else 0.0))
+
+    def collapsed_alpha(self) -> float:
+        """Relative-error bound inside the trash bin for the pure-positive
+        LowBins case (the only case the reference computes:
+        ParallelSketcher.cc:956-959): the trash bin spans keys
+        [key(min_value), fence], so its value range is gamma^(span+1) wide.
+        Returns 0.0 when not applicable (matching the reference default)."""
+        if (
+            self.collapse_mode != "ddog_low"
+            or self.pair_collapses == 0
+            or self.neg_counts.sum() > 0
+            or self.pos_keys.size == 0
+            or not (self.min_value > 0)
+        ):
+            return 0.0
+        i_min = int(np.ceil(np.log(self.min_value) / self.log_gamma))
+        gamma_err = self.gamma ** float(int(self.pos_keys[0]) - i_min + 1)
+        return (gamma_err - 1.0) / (gamma_err + 1.0)
+
     # -- serde ------------------------------------------------------------------
     def to_bytes(self) -> bytes:
         head = struct.pack(
@@ -256,6 +394,8 @@ class DDSketchPair:
             self.pair_collapses,
             _NOFENCE if self.fence_neg is None else self.fence_neg,
             _NOFENCE if self.fence_pos is None else self.fence_pos,
+            self.min_value,
+            self.max_value,
         )
         parts = [head]
         for arr in (self.pos_keys, self.pos_counts, self.neg_keys, self.neg_counts):
@@ -266,7 +406,7 @@ class DDSketchPair:
     def from_bytes(cls, data: bytes) -> "DDSketchPair":
         data = bytes(data)
         (init_alpha, _alpha, m, c, zero, n_pos, n_neg,
-         mode, pairc, fneg, fpos) = struct.unpack_from(_HEADER_FMT, data, 0)
+         mode, pairc, fneg, fpos, vmin, vmax) = struct.unpack_from(_HEADER_FMT, data, 0)
         off = struct.calcsize(_HEADER_FMT)
 
         def take(n):
@@ -288,6 +428,8 @@ class DDSketchPair:
             pair_collapses=pairc,
             fence_neg=None if fneg == _NOFENCE else fneg,
             fence_pos=None if fpos == _NOFENCE else fpos,
+            min_value=vmin,
+            max_value=vmax,
         )
 
     def same_buckets(self, other: "DDSketchPair") -> bool:

@@ -106,6 +106,143 @@ def test_ddog_merge_commutative_and_serde():
     assert rt.pair_collapses == ab.pair_collapses and rt.fence_neg == ab.fence_neg
 
 
+def test_ddog_high_collapse_bound_and_fences():
+    """HighBins mirror: highest positive keys fold first, then the
+    highest-value (lowest-|key|) negatives; accuracy holds BELOW the fence."""
+    rng = np.random.default_rng(9)
+    v = np.concatenate([rng.lognormal(2, 2, 20_000), -rng.lognormal(2, 2, 20_000)])
+    sk = DDSketchPair(initial_alpha=0.01, m=64, collapse_mode="ddog_high").update(v)
+    assert sk.num_buckets <= 64
+    assert sk.count == 40_000
+    assert sk.num_collapses == 0 and sk.alpha == pytest.approx(0.01)
+    assert sk.pair_collapses > 0
+    assert sk.fence_pos is not None  # positive store gave bins first (HighBins)
+    fence_value = sk.gamma ** sk.fence_pos
+    for q in [0.001, 0.01, 0.1, 0.3]:
+        exact = exact_quantile(v, q)
+        if exact < -(sk.gamma ** sk.fence_neg if sk.fence_neg is not None else -np.inf):
+            est = sk.quantile(q)
+            assert abs(est - exact) <= sk.alpha * abs(exact) + 1e-9, (q, est, exact)
+    # the accurate window reported must exclude the folded top mass
+    q0, q1 = sk.accurate_range()
+    assert q0 == 0.0 and q1 < 1.0
+    exact_inside = exact_quantile(v, q1 * 0.5)
+    if abs(exact_inside) > 1e-12 and exact_inside < fence_value:
+        est = sk.quantile(q1 * 0.5)
+        assert abs(est - exact_inside) <= sk.alpha * abs(exact_inside) + 1e-9
+
+
+def _ref_sequential_collapse(pos, neg, zero, bound, mode):
+    """One-pair-at-a-time emulation of the reference's
+    originalCollapseArrayPair (ArraySketch.cc:212-443): LowBins folds the
+    highest-key negative bin into its neighbor until one remains, then the
+    lowest positive keys; HighBins folds the highest positive keys until one
+    non-B* bin remains, then the lowest-|key| negatives. B* (zero) counts
+    toward the bound but never collapses."""
+    pos = [list(b) for b in pos]
+    neg = [list(b) for b in neg]
+    while (len(pos) + (1 if zero > 0 else 0) + len(neg)) > bound:
+        if mode == "ddog_low":
+            if len(neg) > 1:
+                neg[-2][1] += neg[-1][1]
+                neg.pop()
+            elif len(pos) > 1:
+                pos[1][1] += pos[0][1]
+                pos.pop(0)
+            else:
+                break
+        else:
+            if len(pos) >= 2:
+                pos[-2][1] += pos[-1][1]
+                pos.pop()
+            elif len(neg) > 1:
+                neg[1][1] += neg[0][1]
+                neg.pop(0)
+            else:
+                break
+    return pos, neg
+
+
+@pytest.mark.parametrize("mode", ["ddog_low", "ddog_high"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_ddog_merge_matches_reference_trash_bin_fold(mode, seed):
+    """Our ddog merge (absorb + batch fold) must land on the same bucket
+    layout as the reference's trash-bin reduce: merge-join the two stores,
+    then fold one pair at a time from the collapsing end into the bound-width
+    array (Merger.cc:472-739; the staged per-store bounds there reach the
+    same endpoint because each mode folds its secondary store to one bin
+    before touching the primary)."""
+    rng = np.random.default_rng(seed)
+    bound = int(rng.integers(8, 40))
+    sketches = []
+    for _ in range(2):
+        n_pos = int(rng.integers(0, 60))
+        n_neg = int(rng.integers(0, 60))
+        vals = np.concatenate([
+            rng.lognormal(1, 2, n_pos),
+            -rng.lognormal(1, 2, n_neg),
+            np.zeros(int(rng.integers(0, 3))),
+        ])
+        sketches.append(
+            DDSketchPair(initial_alpha=0.02, m=bound, collapse_mode=mode).update(vals)
+        )
+    a, b = sketches
+    # reference endpoint: union-sum both stores, then sequential pair fold
+    def union(k1, c1, k2, c2):
+        d = {}
+        for k, c in zip(list(k1) + list(k2), list(c1) + list(c2)):
+            d[int(k)] = d.get(int(k), 0) + int(c)
+        return sorted(d.items())
+
+    upos = union(a.pos_keys, a.pos_counts, b.pos_keys, b.pos_counts)
+    uneg = union(a.neg_keys, a.neg_counts, b.neg_keys, b.neg_counts)
+    zero = a.zero_count + b.zero_count
+    rpos, rneg = _ref_sequential_collapse(upos, uneg, zero, bound, mode)
+
+    merged = a.copy().merge(b.copy())
+    assert [(int(k), int(c)) for k, c in zip(merged.pos_keys, merged.pos_counts)] == [
+        (k, c) for k, c in rpos
+    ]
+    assert [(int(k), int(c)) for k, c in zip(merged.neg_keys, merged.neg_counts)] == [
+        (k, c) for k, c in rneg
+    ]
+    assert merged.zero_count == zero
+    assert merged.count == a.count + b.count
+
+
+def test_ddog_accurate_range_low_mode():
+    """LowBins: q0 bounds the trash mass; estimates above q0 are accurate."""
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(2, 2, 50_000)
+    sk = DDSketchPair(initial_alpha=0.01, m=48, collapse_mode="ddog_low").update(v)
+    q0, q1 = sk.accurate_range()
+    assert q1 == 1.0 and 0.0 < q0 < 1.0
+    # trash mass really is the first positive bin
+    assert q0 == pytest.approx(sk.pos_counts[0] / sk.count)
+    # estimates are alpha-accurate exactly INSIDE the reported window (below
+    # q0 the trash bin makes them arbitrarily wrong — that is the point of
+    # the report)
+    for frac in (0.05, 0.5, 0.9):
+        q = q0 + frac * (1.0 - q0)
+        est, exact = sk.quantile(q), exact_quantile(v, q)
+        assert abs(est - exact) <= sk.alpha * abs(exact) + 1e-9, (q, est, exact)
+    # collapsed-bin alpha mirrors ParallelSketcher.cc:956-959 and must be a
+    # (much) looser bound than alpha
+    assert sk.collapsed_alpha() > sk.alpha
+
+
+def test_ddog_minmax_tracking_and_serde():
+    rng = np.random.default_rng(12)
+    v = rng.normal(0, 10, 1000)
+    sk = DDSketchPair(0.01, m=0).update(v)
+    assert sk.min_value == v.min() and sk.max_value == v.max()
+    rt = DDSketchPair.from_bytes(sk.to_bytes())
+    assert rt.min_value == sk.min_value and rt.max_value == sk.max_value
+    other = DDSketchPair(0.01, m=0).update(v + 100)
+    m = sk.copy().merge(other)
+    assert m.min_value == v.min() and m.max_value == (v + 100).max()
+
+
 def test_ddog_mode_mismatch_raises():
     with pytest.raises(ValueError, match="collapse modes"):
         DDSketchPair(0.01).merge(DDSketchPair(0.01, collapse_mode="ddog_low"))
