@@ -3,15 +3,33 @@
 North-rule requirement: jobs resumable from checkpointed per-partition sketch
 state with lineage + bucket-count/collapse metrics per partition. The
 checkpoint is the stage-1 partials DataFrame (group cols + state blob +
-n/buckets/collapses/partition_id) plus a tiny JSON manifest recording the
-expected partition count, written atomically after the data.
+n/buckets/collapses/partition_id) plus a JSON manifest recording input
+lineage, written atomically after the data.
 
-Resume contract: a partition is complete iff its partition_id appears in the
-checkpoint. Re-running recomputes ONLY missing partitions (idempotent: the
-recompute filters on TaskContext partition id, so retried/duplicate rows are
-impossible as long as the input split planning is unchanged — same files,
-same maxPartitionBytes). At real 100 TB scale the partition_id would be an
-Iceberg file+split hash; the mechanism is identical.
+Two lineage modes, picked automatically:
+
+* **File-level (primary, file-backed sources).** The manifest records every
+  completed input file with a (size, mtime) fingerprint. Resume lists the
+  input's files, verifies fingerprints of already-completed files (a changed
+  file raises instead of silently double-counting), and builds a NEW scan
+  over ONLY the missing files — a 99%-done job re-reads ~1% of the input,
+  not 100%. Each resume run is appended to ``manifest["runs"]`` with the
+  exact file set its scan planned, so tests (and operators) can audit what
+  was actually re-read. At Iceberg scale the file list would come from the
+  table snapshot; the mechanism is identical.
+
+* **Partition-id (fallback, non-file sources such as generated data).** A
+  partition is complete iff its partition_id appears in the checkpoint; the
+  recompute gates inside mapInPandas on TaskContext partition id. This
+  re-scans the full input to recompute the missing slice and is only sound
+  while split planning is unchanged (same partition count, which is
+  verified; same packing, which cannot be — hence file-level is primary).
+
+Contract for the file-level mode: ``df`` must be an unfiltered scan of the
+file-backed table (projections are fine — the resume scan re-reads only the
+columns ``partial_sketches`` prunes to). For derived/filtered inputs pass
+``rebuild_scan(spark, missing_files) -> DataFrame`` reproducing the same
+transformation over a partial file list.
 """
 
 from __future__ import annotations
@@ -19,18 +37,39 @@ from __future__ import annotations
 import json
 import os
 from typing import Callable, Iterator, Sequence
+from urllib.parse import urlparse
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.uddsketch import UDDSketch
 from .agg import SketchFactory, merge_grouped, partial_sketches
 
 __all__ = ["write_partials", "resume_partials", "checkpointed_sketch_grouped"]
 
+_VERSION = 3
+
 
 def _manifest_path(path: str) -> str:
     return os.path.join(path, "_sketch_manifest.json")
+
+
+def _fingerprint(uri: str) -> dict:
+    """(size, mtime) of a local input file; identity-only for remote URIs
+    (an object store would supply etags via the table format instead)."""
+    p = urlparse(uri)
+    local = p.path if p.scheme in ("", "file") else None
+    if local and os.path.exists(local):
+        st = os.stat(local)
+        return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    return {}
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(path))
 
 
 def write_partials(
@@ -38,21 +77,27 @@ def write_partials(
     path: str,
     num_input_partitions: int,
     completed_ids: list[int] | None = None,
+    input_files: Sequence[str] | None = None,
 ) -> None:
-    """Write partial states + manifest. ``completed_ids`` records partitions
-    known processed even if they produced zero rows (empty input partitions
-    leave no parquet trace, so presence-in-parquet alone can never mark a
-    checkpoint complete)."""
+    """Write partial states + manifest.
+
+    ``input_files`` records file-level lineage (primary resume mode).
+    ``completed_ids`` records partitions known processed even when they
+    produced zero rows (empty partitions leave no parquet trace, so
+    presence-in-parquet alone can never mark a checkpoint complete).
+    """
     partials.write.mode("overwrite").parquet(path)
-    with open(_manifest_path(path), "w") as f:
-        json.dump(
-            {
-                "num_input_partitions": num_input_partitions,
-                "completed": sorted(completed_ids or []),
-                "version": 2,
-            },
-            f,
-        )
+    _write_manifest(
+        path,
+        {
+            "version": _VERSION,
+            "num_input_partitions": num_input_partitions,
+            "completed": sorted(completed_ids or []),
+            "files": {f: _fingerprint(f) for f in (input_files or [])},
+            "runs": [{"scanned": sorted(input_files or [])}],
+            "next_pid_base": num_input_partitions,
+        },
+    )
 
 
 def resume_partials(
@@ -62,11 +107,85 @@ def resume_partials(
     group_cols: Sequence[str],
     path: str,
     factory: SketchFactory = UDDSketch,
+    rebuild_scan: Callable[[SparkSession, list[str]], DataFrame] | None = None,
 ) -> DataFrame:
-    """Return complete partials, computing only partitions missing from ``path``.
+    """Return complete partials, computing only the missing input.
 
-    If no checkpoint exists, builds everything and writes one.
+    File-backed input -> file-level lineage: the resume job's scan is built
+    from ONLY the files absent from the manifest. Non-file input -> the
+    partition-id fallback documented in the module docstring. If no
+    checkpoint exists, builds everything and writes one.
     """
+    input_files = sorted(df.inputFiles())
+    if input_files:
+        return _resume_files(
+            spark, df, value_col, group_cols, path, factory, input_files, rebuild_scan
+        )
+    return _resume_partition_ids(spark, df, value_col, group_cols, path, factory)
+
+
+def _resume_files(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    path: str,
+    factory: SketchFactory,
+    input_files: list[str],
+    rebuild_scan: Callable[[SparkSession, list[str]], DataFrame] | None,
+) -> DataFrame:
+    n_parts = df.rdd.getNumPartitions()
+    if not os.path.exists(_manifest_path(path)):
+        partials = partial_sketches(df, value_col, group_cols, factory)
+        write_partials(partials, path, n_parts, input_files=input_files)
+        return spark.read.parquet(path)
+
+    with open(_manifest_path(path)) as f:
+        manifest = json.load(f)
+    known = manifest.get("files", {})
+    if not known:
+        raise ValueError(
+            f"checkpoint at {path} has partition-id lineage but the input is "
+            "file-backed; delete the checkpoint to switch lineage modes"
+        )
+    for f_uri in input_files:
+        if f_uri in known and known[f_uri] and known[f_uri] != _fingerprint(f_uri):
+            raise ValueError(
+                f"checkpoint at {path}: input file changed since checkpoint: "
+                f"{f_uri} (was {known[f_uri]}, now {_fingerprint(f_uri)}); "
+                "delete the checkpoint — resuming would double-count rows"
+            )
+    missing = [f_uri for f_uri in input_files if f_uri not in known]
+    if not missing:
+        return spark.read.parquet(path)
+
+    # THE point of file-level lineage: the recompute scan plans ONLY the
+    # missing files — completed input is never re-read
+    if rebuild_scan is not None:
+        missing_df = rebuild_scan(spark, missing)
+    else:
+        missing_df = spark.read.schema(df.schema).parquet(*missing)
+    pid_base = int(manifest.get("next_pid_base", 0))
+    fresh = partial_sketches(missing_df, value_col, group_cols, factory).withColumn(
+        "partition_id", (F.col("partition_id") + F.lit(pid_base)).cast("int")
+    )
+    fresh.write.mode("append").parquet(path)
+    known.update({f_uri: _fingerprint(f_uri) for f_uri in missing})
+    manifest["files"] = known
+    manifest.setdefault("runs", []).append({"scanned": sorted(missing_df.inputFiles())})
+    manifest["next_pid_base"] = pid_base + missing_df.rdd.getNumPartitions()
+    _write_manifest(path, manifest)
+    return spark.read.parquet(path)
+
+
+def _resume_partition_ids(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    path: str,
+    factory: SketchFactory,
+) -> DataFrame:
     n_parts = df.rdd.getNumPartitions()
     if not os.path.exists(_manifest_path(path)):
         partials = partial_sketches(df, value_col, group_cols, factory)
@@ -75,6 +194,11 @@ def resume_partials(
 
     with open(_manifest_path(path)) as f:
         manifest = json.load(f)
+    if manifest.get("files"):
+        raise ValueError(
+            f"checkpoint at {path} has file lineage but the input is not "
+            "file-backed; delete the checkpoint to switch lineage modes"
+        )
     if manifest["num_input_partitions"] != n_parts:
         raise ValueError(
             f"checkpoint at {path} was written for {manifest['num_input_partitions']} "
@@ -91,8 +215,9 @@ def resume_partials(
 
     # recompute only missing partitions: the gate runs in the same narrow
     # chain (partition indices preserved), so completed partitions emit
-    # nothing (their input is still scanned — split-level lineage in the
-    # table format removes that at production scale, the contract is identical)
+    # nothing. Their input is still scanned — acceptable only because this
+    # fallback serves non-file sources (generated data) where a "scan" is
+    # the generator itself; file-backed inputs take _resume_files.
     from pyspark import TaskContext
 
     def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,15 +233,9 @@ def resume_partials(
     fresh.write.mode("append").parquet(path)
     # record the recomputed partitions as complete — empty partitions leave
     # no rows, so the parquet alone can never prove completeness
-    with open(_manifest_path(path), "w") as f:
-        json.dump(
-            {
-                "num_input_partitions": n_parts,
-                "completed": sorted(done_ids | missing_set),
-                "version": 2,
-            },
-            f,
-        )
+    manifest["completed"] = sorted(done_ids | missing_set)
+    manifest["version"] = _VERSION
+    _write_manifest(path, manifest)
     return spark.read.parquet(path)
 
 

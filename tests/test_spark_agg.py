@@ -204,3 +204,70 @@ def test_resume_noop_when_complete(spark, tdf, tmp_path):
     n1 = first.count()
     second = resume_partials(spark, tdf, "text_len", [], path, _factory)
     assert second.count() == n1
+
+
+def _merge_all(df):
+    sk = None
+    for r in df.select("state").collect():
+        s = UDDSketch.from_bytes(bytes(r[0]))
+        sk = s if sk is None else sk.merge(s)
+    return sk
+
+
+def test_checkpoint_file_lineage_scans_only_missing_files(spark, tmp_path):
+    """File-backed input: resume must build its scan from ONLY the files
+    absent from the manifest (a 99%-done job re-reads ~1%, not 100%)."""
+    import json
+
+    src = str(tmp_path / "src")
+    t = transcripts(spark, n_conv=400, avg_turns=6, seed=9)
+    with_text_len(t).select("role", "text_len").repartition(4).write.parquet(src)
+    full_df = spark.read.parquet(src)
+    all_files = sorted(full_df.inputFiles())
+    assert len(all_files) == 4
+
+    # simulate a crash: checkpoint covers only the first two files
+    part_df = spark.read.schema(full_df.schema).parquet(*all_files[:2])
+    ckpt = str(tmp_path / "ckpt_files")
+    resume_partials(spark, part_df, "text_len", ["role"], ckpt, _factory)
+
+    resumed = resume_partials(spark, full_df, "text_len", ["role"], ckpt, _factory)
+    with open(f"{ckpt}/_sketch_manifest.json") as f:
+        manifest = json.load(f)
+    # the resume run's scan planned exactly the two missing files
+    assert sorted(manifest["runs"][-1]["scanned"]) == all_files[2:]
+    assert set(manifest["files"]) == set(all_files)
+    # per-(partition, group) states appear exactly once (no double-count)
+    per_pid = resumed.groupBy("partition_id", "role").count().collect()
+    assert all(r["count"] == 1 for r in per_pid)
+    # resumed == uninterrupted, bucket-for-bucket
+    full = partial_sketches(full_df, "text_len", ["role"], _factory)
+    a, b = _merge_all(resumed), _merge_all(full)
+    c = max(a.num_collapses, b.num_collapses)
+    a.collapse(c - a.num_collapses)
+    b.collapse(c - b.num_collapses)
+    assert a.same_buckets(b)
+    # a second resume is a no-op (no new run appended)
+    n_runs = len(manifest["runs"])
+    resume_partials(spark, full_df, "text_len", ["role"], ckpt, _factory)
+    with open(f"{ckpt}/_sketch_manifest.json") as f:
+        assert len(json.load(f)["runs"]) == n_runs
+
+
+def test_checkpoint_rejects_changed_input_file(spark, tmp_path):
+    """A completed file whose fingerprint changed must fail loudly instead of
+    silently double-counting or dropping rows (resume-safety invariant)."""
+    src = str(tmp_path / "src2")
+    t = transcripts(spark, n_conv=100, avg_turns=4, seed=11)
+    with_text_len(t).select("role", "text_len").repartition(2).write.parquet(src)
+    full_df = spark.read.parquet(src)
+    ckpt = str(tmp_path / "ckpt_changed")
+    resume_partials(spark, full_df, "text_len", ["role"], ckpt, _factory)
+    # perturb one data file's fingerprint (rewritten-in-place scenario)
+    import os
+
+    victim = [f for f in sorted(full_df.inputFiles())][0].replace("file:", "")
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    with pytest.raises(ValueError, match="changed since checkpoint"):
+        resume_partials(spark, spark.read.parquet(src), "text_len", ["role"], ckpt, _factory)
