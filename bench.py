@@ -89,6 +89,28 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     extras["sketch_throughput_turns_per_sec_jvm"] = round(n_turns / jvm_s, 1)
     extras["sketch_throughput_turns_per_sec_arrow"] = round(n_turns / arrow_s, 1)
 
+    # high-dim embedding audit: dim-768 hyperplane-LSH near-dups via the
+    # Arrow matmul engine (no catalyst literal blowup); planted exact dupes
+    # give a known recall target
+    from puddsketch_spark.datagen import embeddings_table
+    from puddsketch_spark.ops.dedup import embedding_near_dups, release_cached
+
+    emb768 = embeddings_table(spark, n=8_000, dim=768, seed=5, n_dupes=100).persist()
+    emb768.count()
+    # 16 planes/band: 8-bit bands collide randomly at 0.5^8 and the exact-
+    # cosine verify on ~500k junk candidates dominates; 16 bits cuts random
+    # collisions ~256x while keeping >0.9 recall at cosine 0.99
+    t0 = time.time()
+    pairs = embedding_near_dups(
+        emb768, threshold=0.99, num_bands=4, planes_per_band=16, engine="auto"
+    )
+    n_pairs = pairs.count()
+    timings["embedding_near_dups_dim768"] = round(time.time() - t0, 3)
+    release_cached(pairs)
+    emb768.unpersist()
+    extras["dim768_near_dup_pairs"] = n_pairs
+    assert n_pairs >= 100  # the planted duplicates must all surface
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {

@@ -15,7 +15,49 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-__all__ = ["transcripts"]
+__all__ = ["embeddings_table", "transcripts"]
+
+
+def embeddings_table(
+    spark: SparkSession,
+    n: int = 1_000,
+    dim: int = 64,
+    seed: int = 42,
+    n_dupes: int = 0,
+) -> DataFrame:
+    """Deterministic synthetic unit-norm embeddings for similarity/ANN tests
+    and high-dim benchmarks: (vec_id long, embedding array<float>).
+
+    Each row derives from default_rng([seed, vec_id]) inside mapInPandas over
+    spark.range — identical under any partitioning. The last ``n_dupes`` ids
+    (n..n+n_dupes-1) are exact copies of ids 0..n_dupes-1, giving a known
+    near-dup pair set for recall checks.
+    """
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    import numpy as np
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                base = int(i) if i < n else int(i) - n
+                rng = np.random.default_rng([seed, base])
+                v = rng.standard_normal(dim)
+                vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    rng_df = spark.range(0, n + n_dupes, 1, spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=schema)
 
 _TWO32 = float(2**32)
 

@@ -497,6 +497,7 @@ def embedding_near_dups(
     num_bands: int = 4,
     planes_per_band: int = 8,
     seed: int = 42,
+    engine: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold.
 
@@ -506,12 +507,29 @@ def embedding_near_dups(
     4x8), then exact cosine verifies JVM-side (zip_with/aggregate — whole
     batch codegen'd, no Python). The join is per-(band, signature) bucket,
     never all-pairs.
+
+    Plane dots: Catalyst literal expressions while bands*planes*dim stays
+    small; at dim 768+ that tree bloats the plan, so "auto" switches to one
+    Arrow-batched matmul (ops.similarity.matrix_dots) — sign bits still
+    derive JVM-side from the returned dot array.
     """
+    from .similarity import _MAX_CATALYST_COEFFS, matrix_dots
+
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bands * planes_per_band, dim))
+    if engine == "auto":
+        engine = "catalyst" if planes.size <= _MAX_CATALYST_COEFFS else "arrow"
 
-    def band_sig(b: int):
+    def sig_from_dots(dots_col, b: int):
+        bits = [
+            F.when(F.element_at(dots_col, b * planes_per_band + j + 1) >= 0, "1")
+            .otherwise("0")
+            for j in range(planes_per_band)
+        ]
+        return F.concat(*bits)
+
+    def band_sig_catalyst(b: int):
         bits = []
         for j in range(planes_per_band):
             row = planes[b * planes_per_band + j]
@@ -527,12 +545,21 @@ def embedding_near_dups(
     # the deduplicated candidate pairs once per side for the exact-cosine
     # verify (same shuffle discipline as lsh_candidate_pairs)
     vecs = df.select(id_col, vec_col).persist()
-    tagged = vecs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[band_sig(b) for b in range(num_bands)])).alias(
-            "band", "sig"
-        ),
-    )
+    if engine == "arrow":
+        with_dots = vecs.withColumn("_pd", matrix_dots(vec_col, planes))
+        tagged = with_dots.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[sig_from_dots(F.col("_pd"), b) for b in range(num_bands)])
+            ).alias("band", "sig"),
+        )
+    else:
+        tagged = vecs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[band_sig_catalyst(b) for b in range(num_bands)])
+            ).alias("band", "sig"),
+        )
     a = tagged.select(F.col(id_col).alias("a"), "band", "sig")
     b = tagged.select(F.col(id_col).alias("b"), "band", "sig")
     pairs = (

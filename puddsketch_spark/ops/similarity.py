@@ -15,9 +15,16 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DoubleType
 
-__all__ = ["cosine_topk", "ivf_assign", "ivf_topk", "random_centroids"]
+__all__ = ["cosine_topk", "ivf_assign", "ivf_topk", "matrix_dots", "random_centroids"]
+
+# above this many literal plane/centroid coefficients the Catalyst expression
+# tree stops being free: plan size, analysis time, and codegen all scale with
+# n_rows x dim, so high-dim fan-outs switch to one Arrow-batched matmul
+_MAX_CATALYST_COEFFS = 8192
 
 
 def _dot_lit(vec_col: str, q: Sequence[float]):
@@ -27,6 +34,25 @@ def _dot_lit(vec_col: str, q: Sequence[float]):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def matrix_dots(vec_col: str, matrix: np.ndarray) -> Column:
+    """array<double> of <vec, row_i> for every row of ``matrix`` via ONE
+    Arrow-batched pandas-UDF matrix multiply.
+
+    The scale path for high-dim embeddings (dim 768+): a Catalyst expression
+    with n_rows x dim literal coefficients blows up the plan, while the UDF
+    ships the matrix once per worker and does a single BLAS matmul per Arrow
+    batch — no per-row Python."""
+    mat = np.ascontiguousarray(np.asarray(matrix, dtype=np.float64))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def dots(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        d = x @ mat.T  # (batch, n_rows)
+        return pd.Series(list(d))
+
+    return dots(F.col(vec_col))
 
 
 def _norm(vec_col: str):
@@ -72,16 +98,26 @@ def ivf_assign(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     out: str = "cell_id",
+    engine: str = "auto",
 ) -> DataFrame:
-    """Tag each vector with its nearest centroid id (argmax dot).
+    """Tag each vector with its nearest centroid id (argmax dot). Partition
+    or Z-order the table by ``cell_id`` so ivf_topk prunes at the scan.
 
-    Pure Catalyst: n_cells dot products + array_position(max). Partition or
-    Z-order the table by ``cell_id`` so ivf_topk prunes at the scan.
-    """
-    dots = F.array(*[_dot_lit(vec_col, c) for c in centroids])
-    return df.withColumn(
-        out, (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    )
+    engine="catalyst": n_cells dot products as codegen'd expressions — best
+    while n_cells*dim literals stay small. engine="arrow": one pandas-UDF
+    matmul (the dim-768+ path). "auto" switches on the coefficient count.
+    The two can differ on exact argmax ties (summation order), so pin the
+    engine where bit-stable assignments matter."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if engine == "auto":
+        engine = "catalyst" if cents.size <= _MAX_CATALYST_COEFFS else "arrow"
+    if engine == "arrow":
+        dots = matrix_dots(vec_col, cents)
+    else:
+        dots = F.array(*[_dot_lit(vec_col, c) for c in cents])
+    return df.withColumn("_dots", dots).withColumn(
+        out, (F.array_position(F.col("_dots"), F.array_max("_dots")) - 1).cast("int")
+    ).drop("_dots")
 
 
 def ivf_topk(

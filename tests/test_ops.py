@@ -211,6 +211,68 @@ def test_ivf_topk_recall(spark):
     assert len(exact & approx) >= 5  # >=50% recall at half the cells probed
 
 
+def test_ivf_partition_pruning(spark, tmp_path):
+    """The 100-TB IVF contract: with the table laid out by cell_id, the probe
+    filter must prune at the SCAN (PartitionFilters), not post-read."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = random_centroids(64, n_cells=16)
+    path = str(tmp_path / "ivf_layout")
+    ivf_assign(emb, cents).write.partitionBy("cell_id").parquet(path)
+    table = spark.read.parquet(path)
+    q = emb.where(F.col("vec_id") == 3).first().embedding
+    top = ivf_topk(table, cents, q, k=5, n_probe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top.explain("formatted")
+    plan = buf.getvalue()
+    scan = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cell_id" in scan and " IN " in scan, scan
+    # and only the probed partitions' rows feed the top-k
+    probed = {int(r.cell_id) for r in table.join(
+        top.select("vec_id"), "vec_id", "left_semi").select("cell_id").collect()}
+    assert len(probed) <= 4
+    assert top.count() == 5
+
+
+def test_highdim_arrow_engine(spark):
+    """dim-768 path: plane/centroid dots via one Arrow matmul — no
+    O(bands*planes*dim) literal blowup in the plan — same recall contract."""
+    import contextlib
+    import io
+
+    from puddsketch_spark.datagen import embeddings_table
+    from puddsketch_spark.ops.dedup import release_cached
+
+    emb = embeddings_table(spark, n=300, dim=768, seed=1, n_dupes=20).cache()
+    pairs = embedding_near_dups(emb, threshold=0.99, engine="auto")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan  # auto picked the matmul path at dim 768
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert {(i, i + 300) for i in range(20)} <= got  # planted exact dups found
+    release_cached(pairs)
+
+    assigned = ivf_assign(emb, random_centroids(768, n_cells=64), engine="auto")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain("formatted")
+    assert "ArrowEvalPython" in buf.getvalue()
+    rows = assigned.groupBy("cell_id").count().collect()
+    assert sum(r["count"] for r in rows) == 320
+    assert all(0 <= r.cell_id < 64 for r in rows)
+    # duplicates land in the same cell as their originals (determinism)
+    cells = {r.vec_id: r.cell_id for r in assigned.select("vec_id", "cell_id").collect()}
+    assert all(cells[i] == cells[i + 300] for i in range(20))
+    emb.unpersist()
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [Row(doc_id=0, text="hello world, 42 foo-bar"), Row(doc_id=1, text=""), Row(doc_id=2, text="   ")]
