@@ -455,6 +455,55 @@ FROM events GROUP BY event_type
 """
 
 
+def _heavy_hitters_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries where decrements really happen: o_custkey has far more
+    distinct keys than k=64, so err > 0. Which sub-threshold keys survive is
+    merge-order dependent, so the output reports only order-INVARIANT facts,
+    each verified exactly in a second distributed Spark pass:
+      * bracket: count_lo <= true_count <= count_lo + err for every retained key
+      * superset: every key with true frequency > n/(k+1) is retained
+      * retained <= k, err > 0, and the exact n anchor."""
+    from puddsketch_spark.core import MisraGries
+    from puddsketch_spark.spark.agg import sketch_global
+
+    k = 64
+    orders = _t(spark, sf_dir, "orders")
+    sk = sketch_global(orders, "o_custkey", lambda: MisraGries(k=k),
+                       MisraGries.from_bytes)
+    retained = {int(key): int(c) for key, c in sk.counters.items()}
+    n = orders.count()
+    # exact counts for the retained keys only (a 64-key isin filter — the
+    # verification stays distributed, nothing unbounded reaches the driver)
+    exact = {
+        r[0]: r[1]
+        for r in orders.where(F.col("o_custkey").isin(list(retained)))
+        .groupBy("o_custkey").count().collect()
+    }
+    bracket_ok = all(
+        retained[key] <= exact.get(key, 0) <= retained[key] + sk.err
+        for key in retained
+    )
+    # every key above the n/(k+1) guarantee threshold must be retained
+    heavy = (
+        orders.groupBy("o_custkey").count()
+        .where(F.col("count") > F.lit(n / (k + 1)))
+    )
+    missed = heavy.where(~F.col("o_custkey").isin(list(retained))).count()
+    return spark.createDataFrame(
+        [(k, int(n), bool(len(retained) <= k), bool(sk.err > 0),
+          bool(bracket_ok), bool(missed == 0))],
+        "k int, n long, retained_le_k boolean, err_positive boolean, "
+        "bracket_ok boolean, superset_ok boolean",
+    )
+
+
+_HH_CUST_SQL = """
+SELECT 64 AS k, COUNT(*) AS n, TRUE AS retained_le_k, TRUE AS err_positive,
+       TRUE AS bracket_ok, TRUE AS superset_ok
+FROM orders
+"""
+
+
 def _rank_check(spark: SparkSession, sf_dir: str, kind: str, tol: float) -> DataFrame:
     """Global quantile sketch over l_extendedprice; verify rank error of each
     estimate exactly in a second Spark pass."""
@@ -1002,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_type_freq": _cms_event_type_freq,
         "bloom_custkeys": _bloom_custkeys,
         "heavy_hitters_event_types": _heavy_hitters_event_types,
+        "heavy_hitters_custkeys": _heavy_hitters_custkeys,
         "kll_price_rank": _kll_price_rank,
         "tdigest_price_rank": _tdigest_price_rank,
         "req_price_rank": _req_price_rank,
@@ -1037,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_type_freq": _CMS_SQL,
         "bloom_custkeys": _BLOOM_SQL,
         "heavy_hitters_event_types": _HH_SQL,
+        "heavy_hitters_custkeys": _HH_CUST_SQL,
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
         "req_price_rank": _RANK_SQL,

@@ -30,6 +30,11 @@ class MisraGries:
     err: int = 0  # upper bound on undercount of any retained key
     counters: dict = field(default_factory=dict)
 
+    # keys must arrive exactly as stored in the column: integer columns stay
+    # int64 in the distributed pipeline (no float64 round-trip, which would
+    # conflate IDs above 2^53)
+    value_family = "exact"
+
     # metrics-contract attrs
     @property
     def count(self) -> int:

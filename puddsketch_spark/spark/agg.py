@@ -103,8 +103,10 @@ def partial_sketches(
     }
     int_value = tname in {"integer", "long", "short", "byte"}
     # hash-family kernels (HLL/CMS/Bloom) hash integer columns via their
-    # exact bit pattern — a float64 round-trip collides IDs above 2^53
-    hash_family = getattr(factory(), "value_family", "numeric") == "hash"
+    # exact bit pattern, and exact-key kernels (MisraGries) keep raw keys —
+    # a float64 round-trip would collide IDs above 2^53 and turn keys into
+    # '12345.0'-style strings downstream
+    preserve_int = getattr(factory(), "value_family", "numeric") in ("hash", "exact")
 
     def build(batches):
         import pyarrow as pa
@@ -117,7 +119,7 @@ def partial_sketches(
             if arrow_schema is None:
                 arrow_schema = batch.schema
             vcol = batch.column(len(group_cols))
-            if hash_family and int_value:
+            if preserve_int and int_value:
                 valid = ~np.asarray(vcol.is_null()) if vcol.null_count else None
                 vals_all = (
                     vcol.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)

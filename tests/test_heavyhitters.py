@@ -84,3 +84,22 @@ def test_bool_keys_roundtrip():
     sk = MisraGries(k=8).update(np.array([True, True, False], dtype=object))
     rt = MisraGries.from_bytes(sk.to_bytes())
     assert rt.estimate(True)[0] == 2 and rt.estimate(False)[0] == 1
+
+
+def test_distributed_bigint_keys_preserved(spark):
+    """Snowflake-style int64 IDs above 2^53: the distributed pipeline must
+    not round-trip them through float64 (which conflates neighbors), and
+    grouped output items must be '9007199254740993'-style strings, not
+    '9.007199254740992e+15'."""
+    from puddsketch_spark.spark.agg import sketch_global
+    from puddsketch_spark.spark.sketches import heavy_hitters_grouped
+
+    base = 2**53 + 1  # adjacent int64s that collide in float64
+    rows = [(base, "g")] * 5 + [(base + 1, "g")] * 3
+    df = spark.createDataFrame(rows, "user_id long, grp string")
+    sk = sketch_global(df, "user_id", lambda: MisraGries(k=8), MisraGries.from_bytes)
+    assert sk.estimate(base)[0] == 5
+    assert sk.estimate(base + 1)[0] == 3  # distinct from its float64 twin
+    out = heavy_hitters_grouped(df, "user_id", ["grp"], k=8, phi=0.1).collect()
+    items = {r.item: r.count_lo for r in out}
+    assert items == {str(base): 5, str(base + 1): 3}
