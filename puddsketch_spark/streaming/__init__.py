@@ -1,1 +1,6 @@
-from .sketch_stream import streaming_sketch, streaming_udds_quantiles, udds_state_update  # noqa: F401
+from .sketch_stream import (  # noqa: F401
+    streaming_sketch,
+    streaming_sketch_windowed,
+    streaming_udds_quantiles,
+    udds_state_update,
+)

@@ -40,7 +40,12 @@ from pyspark.sql.types import (
 
 from ..core.uddsketch import UDDSketch
 
-__all__ = ["udds_state_update", "streaming_udds_quantiles", "streaming_sketch"]
+__all__ = [
+    "udds_state_update",
+    "streaming_udds_quantiles",
+    "streaming_sketch",
+    "streaming_sketch_windowed",
+]
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
 
@@ -111,6 +116,88 @@ def streaming_sketch(
             if state_ttl_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def streaming_sketch_windowed(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    factory,
+    from_bytes,
+    finalize,
+    finalize_schema: StructType,
+    ts_col: str = "ts",
+    window_seconds: int = 600,
+    watermark_seconds: int = 600,
+):
+    """Event-time windowed sketch aggregation with watermark-driven state
+    eviction.
+
+    Each (event-time window, group) keeps one sketch blob. Late rows are
+    routed by their EVENT time — a row arriving micro-batches later still
+    merges into its own window's sketch (updates commute, so arrival order
+    is irrelevant). Once the watermark passes window_end + watermark_seconds
+    the window's EventTimeTimeout fires: the final row is emitted with
+    final=true and the state is dropped, so total state is bounded by the
+    number of in-flight windows x groups, not by stream length.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, TimestampType
+
+    group_cols = list(group_cols)
+    src = (
+        stream_df.withWatermark(ts_col, f"{watermark_seconds} seconds")
+        .withColumn(
+            "window_start",
+            F.window(F.col(ts_col), f"{window_seconds} seconds")["start"],
+        )
+    )
+    out_schema = StructType(
+        [StructField("window_start", TimestampType(), True)]
+        + _group_fields(stream_df, group_cols)
+        + list(finalize_schema.fields)
+        + [StructField("final", BooleanType(), False)]
+    )
+    out_columns = [f.name for f in out_schema.fields]
+    horizon_ms = (window_seconds + watermark_seconds) * 1000
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed the window's lateness horizon: emit the final
+            # row and drop the blob
+            (blob,) = state.get
+            sk = from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame(
+                [tuple(key) + tuple(finalize(sk)) + (True,)], columns=out_columns
+            )
+            return
+        if state.exists:
+            (blob,) = state.get
+            sk = from_bytes(bytes(blob))
+        else:
+            sk = factory()
+        for pdf in pdfs:
+            col = pdf[value_col]
+            if col.dtype.kind in "if":
+                sk.update(col.to_numpy(dtype="float64", na_value=np.nan))
+            else:
+                sk.update(col.dropna().to_numpy())
+        state.update((sk.to_bytes(),))
+        window_start = key[0]  # pandas Timestamp of the event-time window
+        end_ms = int(pd.Timestamp(window_start).value // 1_000_000) + horizon_ms
+        state.setTimeoutTimestamp(end_ms)
+        yield pd.DataFrame(
+            [tuple(key) + tuple(finalize(sk)) + (False,)], columns=out_columns
+        )
+
+    return src.groupBy("window_start", *group_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

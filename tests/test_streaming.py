@@ -112,3 +112,80 @@ def test_streaming_generic_hll(spark, tmp_path):
         q.stop()
     assert abs(est1 - 300) / 300 <= 0.05
     assert abs(est2 - 500) / 500 <= 0.05  # state accumulated across batches
+
+
+def test_event_time_window_late_data_and_eviction(spark, tmp_path):
+    """Late rows (arriving a micro-batch later, still within the watermark)
+    must merge into their EVENT-time window's sketch; rows later than the
+    watermark are dropped by Spark; once the watermark passes a window's
+    lateness horizon its final row is emitted and its state evicted."""
+    from datetime import datetime
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from puddsketch_spark.streaming import streaming_sketch_windowed
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minute, sec=0):
+        return t0.replace(hour=12 + minute // 60, minute=minute % 60, second=sec)
+
+    schema = "role string, text_len double, ts timestamp"
+    # batch 1: window A (12:00-12:10) and window B (12:10-12:20); the max
+    # event time 12:10:00 puts the watermark at 12:00:00 (delay 600s)
+    rows1 = [("user", float(v), ts(0, v % 60)) for v in range(1, 201)] + [
+        ("user", float(v), ts(10, 0)) for v in range(1, 101)
+    ]
+    # batch 2: LATE rows for window A (event time 12:02, after the 12:00
+    # watermark -> kept and routed to A) + window C rows (12:20)
+    rows2 = [("user", 1000.0 + v, ts(2, v % 60)) for v in range(300)] + [
+        ("user", float(v), ts(20, 0)) for v in range(50)
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sketch_windowed(
+        stream, "text_len", ["role"],
+        factory=lambda: UDDSketch(initial_alpha=0.01, m=200),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: (sk.count, float(sk.quantile(0.99))),
+        finalize_schema=StructType([
+            StructField("n", LongType(), False),
+            StructField("p99", DoubleType(), False),
+        ]),
+        ts_col="ts", window_seconds=600, watermark_seconds=600,
+    )
+    q = (out.writeStream.format("memory").queryName("win_out")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        latest = {
+            (r.window_start.minute, r.role): r
+            for r in spark.sql("select * from win_out").orderBy("n").collect()
+        }
+        # window A absorbed its 300 late rows: 200 + 300
+        a = latest[(0, "user")]
+        assert a.n == 500
+        # late values (1000+) dominate window A's upper tail
+        assert a.p99 > 1000
+        # batches 3+4: event time far ahead -> the watermark passes every old
+        # window's horizon (window_end + 600s) -> final rows + state eviction
+        # (timeouts fire while processing the NEXT batch after the watermark
+        # advances, hence two pushes)
+        for minute in (59, 70):
+            spark.createDataFrame([("user", 1.0, ts(minute, 0))], schema).coalesce(
+                1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finals = {
+            r.window_start.minute: r.n
+            for r in spark.sql("select * from win_out where final").collect()
+        }
+        assert finals.get(0) == 500  # window A finalized WITH the late rows
+        assert finals.get(10) == 100
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert n_state <= 2  # only the newest windows remain in-flight
+    finally:
+        q.stop()
