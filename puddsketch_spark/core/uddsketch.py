@@ -31,7 +31,7 @@ from dataclasses import dataclass, field, replace
 
 import numpy as np
 
-__all__ = ["UDDSketch", "MIN_ADDRESSABLE"]
+__all__ = ["UDDSketch", "MIN_ADDRESSABLE", "fast_log32"]
 
 # exp(LONG_MIN * log_gamma) underflows to 0.0 for every practical alpha, so
 # the reference's min-addressable value is always DBL_MIN (float64 tiny).
@@ -51,6 +51,30 @@ def _ceil_div(keys: np.ndarray, twopow: int) -> np.ndarray:
     return -((-keys) // twopow)
 
 
+def fast_log32(values: np.ndarray) -> np.ndarray:
+    """The reference's approximate float32 natural log, vectorized
+    (uddsketch.cpp:14-78): IEEE-754 exponent/mantissa split by bit ops, then
+    a 3rd-order Remez minimax polynomial for ln(m) on [1,2] plus ln(2)*exp.
+
+    Bit-for-bit faithful to the C: the input rounds to float32, the
+    polynomial evaluates in float64 (C promotes the float operand against
+    double literals), and the result rounds back to float32 (the C function
+    returns float). Only used with ``compat=True`` — golden-file equality
+    with sketches built by the reference binary; the default path uses exact
+    ``np.log``.
+    """
+    x = np.asarray(values, dtype=np.float32)
+    bx = x.view(np.uint32)
+    t = (bx >> np.uint32(23)).astype(np.int32) - np.int32(127)
+    m = ((bx & np.uint32(0x7FFFFF)) | np.uint32(0x3F800000)).view(np.float32)
+    m64 = m.astype(np.float64)
+    res = (
+        -1.49278 + (2.11263 + (-0.729104 + 0.10969 * m64) * m64) * m64
+        + 0.6931471806 * t.astype(np.float64)
+    )
+    return res.astype(np.float32).astype(np.float64)
+
+
 @dataclass
 class UDDSketch:
     """Mergeable log-bucketed quantile sketch with uniform collapse.
@@ -66,6 +90,12 @@ class UDDSketch:
     zero_count: int = 0
     keys: np.ndarray = field(default_factory=lambda: _EMPTY_I64.copy())
     counts: np.ndarray = field(default_factory=lambda: _EMPTY_I64.copy())
+    # compat=True: bucket keys via the reference's approximate float32 log
+    # with reciprocal multiply, ceil(fast_log32(v) * (1/log_gamma)) exactly as
+    # uddsketch.cpp:180 — bucket-for-bucket golden equality with sketches
+    # built by the C++ binary. Fill-time only (merge/quantile/serde are
+    # log-free); from_bytes yields compat=False.
+    compat: bool = False
 
     # -- derived resolution ------------------------------------------------
     @property
@@ -114,13 +144,19 @@ class UDDSketch:
         self.zero_count += int(small.sum())
         v = v[~small]
         if v.size:
-            # division (not reciprocal-multiply): bit-identical to ln(v)/ln(g)
-            # in a SQL oracle; same libm, same rounding
-            bkeys = np.ceil(np.log(v) / self.log_gamma).astype(np.int64)
+            bkeys = self._bucket_keys(v)
             ukeys, ucounts = np.unique(bkeys, return_counts=True)
             self._absorb(ukeys, ucounts.astype(np.int64))
             self._enforce_bound()
         return self
+
+    def _bucket_keys(self, v: np.ndarray) -> np.ndarray:
+        if self.compat:
+            # reference add(): ceil(natural_log(v) * inverse_log_gamma)
+            return np.ceil(fast_log32(v) * (1.0 / self.log_gamma)).astype(np.int64)
+        # division (not reciprocal-multiply): bit-identical to ln(v)/ln(g)
+        # in a SQL oracle; same libm, same rounding
+        return np.ceil(np.log(v) / self.log_gamma).astype(np.int64)
 
     def update_weighted(self, values, counts) -> "UDDSketch":
         """Absorb pre-aggregated (value, count) pairs — the JVM pre-agg path:
@@ -137,7 +173,7 @@ class UDDSketch:
         self.zero_count += int(c[small].sum())
         v, c = v[~small], c[~small]
         if v.size:
-            bkeys = np.ceil(np.log(v) / self.log_gamma).astype(np.int64)
+            bkeys = self._bucket_keys(v)
             ukeys, inv = np.unique(bkeys, return_inverse=True)
             ucounts = np.zeros(ukeys.size, dtype=np.int64)
             np.add.at(ucounts, inv, c)
@@ -162,7 +198,7 @@ class UDDSketch:
         failed += n_small - take
         v = v[~small]
         if v.size:
-            bkeys = np.ceil(np.log(v) / self.log_gamma).astype(np.int64)
+            bkeys = self._bucket_keys(v)
             ukeys, ucounts = np.unique(bkeys, return_counts=True)
             idx = np.searchsorted(self.keys, ukeys)
             for k, want, i in zip(ukeys, ucounts, idx):

@@ -1,0 +1,112 @@
+"""Regenerate the compat golden files in tests/golden/.
+
+Builds a tiny dump harness against the READ-ONLY reference kernel
+(/root/reference/psketches/uddsketch/uddsketch.cpp — compiled, never
+copied), feeds it deterministic value sets, and records the exact bucket
+layout + quantiles the reference produces. tests/test_uddsketch_kernel.py
+then asserts our ``compat=True`` kernel (fast_log32 + reciprocal multiply)
+reproduces the buckets bit-for-bit, and the same values round-trip through
+the Spark pipeline via sources.read_binary_doubles.
+
+Requires g++ and the reference checkout; the generated artifacts are
+committed so the test suite itself needs neither.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "..", "tests", "golden")
+REF = "/root/reference/psketches/uddsketch"
+
+_MAIN = r"""
+#include "uddsketch.h"
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+int main(int argc, char** argv) {
+    // argv: <values.bin> <alpha> <m>
+    double alpha = atof(argv[2]);
+    int m = atoi(argv[3]);
+    FILE* f = fopen(argv[1], "rb");
+    fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
+    std::vector<double> vals(sz / 8);
+    if (fread(vals.data(), 8, vals.size(), f) != vals.size()) return 1;
+    fclose(f);
+    UDDSketch sk(alpha, m);
+    for (double v : vals) sk.add(v);
+    printf("{\"zero\": %ld, \"alpha\": %.17g, \"buckets\": {", sk.get_zero_bucket_count(), sk.get_alpha());
+    bool first = true;
+    // keys are unordered in the reference store; dump sorted via quantile walk keys
+    // simplest: probe every key in a range around observed min/max via get_bucket_count
+    long lo = -2000000, hi = 2000000; // probing that range is too slow; instead re-walk
+    (void)lo; (void)hi;
+    // re-derive keys by re-adding into a map is not available; use serialize
+    std::vector<uint8_t> blob = sk.serialize();
+    // layout: init_alpha|alpha|m|zero|size|[key,count]*
+    const uint8_t* p = blob.data();
+    p += sizeof(double) * 2 + sizeof(int) + sizeof(long);
+    size_t n; memcpy(&n, p, sizeof(size_t)); p += sizeof(size_t);
+    for (size_t i = 0; i < n; ++i) {
+        long k, c;
+        memcpy(&k, p, sizeof(long)); p += sizeof(long);
+        memcpy(&c, p, sizeof(long)); p += sizeof(long);
+        printf("%s\"%ld\": %ld", first ? "" : ", ", k, c);
+        first = false;
+    }
+    printf("}, \"quantiles\": {");
+    double qs[4] = {0.5, 0.9, 0.99, 0.999};
+    for (int i = 0; i < 4; ++i) {
+        printf("%s\"%g\": %.17g", i ? ", " : "", qs[i], sk.get_quantile(qs[i]));
+    }
+    printf("}}\n");
+    return 0;
+}
+"""
+
+
+def main() -> None:
+    os.makedirs(GOLDEN, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        main_cpp = os.path.join(td, "golden_main.cpp")
+        with open(main_cpp, "w") as f:
+            f.write(_MAIN)
+        exe = os.path.join(td, "golden_gen")
+        subprocess.run(
+            ["g++", "-O2", "-std=c++11", f"-I{REF}", main_cpp,
+             os.path.join(REF, "uddsketch.cpp"), "-o", exe],
+            check=True,
+        )
+        cases = []
+        specs = [
+            ("uniform", lambda rng: rng.uniform(1.0, 1000.0, 10_000), 0.01),
+            ("lognormal", lambda rng: rng.lognormal(5.0, 1.0, 10_000), 0.01),
+            ("exponential", lambda rng: rng.exponential(10.0, 10_000), 0.005),
+        ]
+        for name, gen, alpha in specs:
+            rng = np.random.default_rng(hash(name) % 2**31)
+            vals = gen(rng).astype("<f8")
+            bin_name = f"values_{name}.bin"
+            vals.tofile(os.path.join(GOLDEN, bin_name))
+            out = subprocess.run(
+                [exe, os.path.join(GOLDEN, bin_name), str(alpha), "0"],
+                check=True, capture_output=True, text=True,
+            ).stdout
+            ref = json.loads(out)
+            cases.append({"name": name, "file": bin_name, "alpha": alpha,
+                          "m": 0, "n": len(vals), **ref})
+        with open(os.path.join(GOLDEN, "udds_compat.json"), "w") as f:
+            json.dump({"cases": cases}, f, indent=1, sort_keys=True)
+        print(f"wrote {len(cases)} golden cases to {GOLDEN}")
+
+
+if __name__ == "__main__":
+    main()

@@ -219,3 +219,68 @@ def test_reduce_order_invariance_random_trees():
                 for i in range(0, len(pool), 2)
             ]
         assert pool[0].same_buckets(ref)
+
+
+def test_compat_fastlog_golden_parity_kernel():
+    """compat=True must reproduce the reference binary's sketches
+    bucket-for-bucket. tests/golden/* was generated by COMPILING the
+    read-only reference kernel (scripts/gen_golden_compat.py) and dumping
+    its exact bucket layout + quantiles for deterministic inputs."""
+    import json
+    import os
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    with open(os.path.join(golden_dir, "udds_compat.json")) as f:
+        cases = json.load(f)["cases"]
+    assert len(cases) >= 3
+    for case in cases:
+        vals = np.fromfile(os.path.join(golden_dir, case["file"]), dtype="<f8")
+        assert vals.size == case["n"]
+        sk = UDDSketch(initial_alpha=case["alpha"], m=case["m"], compat=True)
+        sk.update(vals)
+        got = {str(int(k)): int(c) for k, c in zip(sk.keys, sk.counts)}
+        assert got == case["buckets"], case["name"]  # bucket-for-bucket
+        assert sk.zero_count == case["zero"]
+        # our alpha is re-derived from gamma ((g-1)/(g+1)) while the
+        # reference stores the constructor value -> agree to the last ulp;
+        # quantile estimates inherit that one-ulp wiggle via (1 - alpha)
+        assert sk.alpha == pytest.approx(case["alpha"], rel=1e-15)
+        for q, ref_est in case["quantiles"].items():
+            assert sk.quantile(float(q)) == pytest.approx(ref_est, rel=5e-16), (
+                case["name"], q,
+            )
+        # and the exact-log default path lands within one bucket of compat
+        ex = UDDSketch(initial_alpha=case["alpha"], m=0).update(vals)
+        for q in (0.5, 0.99):
+            a, b = sk.quantile(q), ex.quantile(q)
+            assert abs(a - b) <= 3 * case["alpha"] * abs(b) + 1e-12
+
+
+def test_compat_golden_parity_distributed(spark):
+    """The same golden inputs replayed through the SPARK pipeline: the
+    headerless binary-double source (the reference's VALIDATE input format)
+    -> distributed compat fill -> treeReduce merge == the reference binary's
+    sequential sketch, bucket-for-bucket (m=0: merge-order invariant)."""
+    import json
+    import os
+
+    from puddsketch_spark.sources import read_binary_doubles
+    from puddsketch_spark.spark.agg import sketch_global
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    with open(os.path.join(golden_dir, "udds_compat.json")) as f:
+        case = json.load(f)["cases"][0]
+    df = read_binary_doubles(
+        spark, os.path.join(golden_dir, case["file"])
+    ).repartition(8)
+    assert df.count() == case["n"]
+    sk = sketch_global(
+        df, "value",
+        lambda: UDDSketch(initial_alpha=case["alpha"], m=0, compat=True),
+        UDDSketch.from_bytes,
+    )
+    got = {str(int(k)): int(c) for k, c in zip(sk.keys, sk.counts)}
+    assert got == case["buckets"]
+    assert sk.zero_count == case["zero"]
+    for q, ref_est in case["quantiles"].items():
+        assert sk.quantile(float(q)) == pytest.approx(ref_est, rel=5e-16)
