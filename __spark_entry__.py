@@ -1032,6 +1032,107 @@ LIMIT 10
 """
 
 
+def _multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over a documents-derived media table: kind split
+    (video/image/audio by doc_id mod 3), per-kind decoder dispatch with
+    poison-pill isolation (payload = first length(text) mod 17 chars — empty
+    payloads must fail decode, not the task), and Catalyst-only video frame
+    sampling. The oracle replays the kind split, the decode-ok rule, and the
+    frame-midpoint arithmetic exactly."""
+    from puddsketch_spark.ops.multimodal import (
+        decode_and_featurize, fake_audio_decoder, fake_image_decoder,
+        with_frame_samples,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        kind.alias("kind"),
+        F.encode(F.expr("substring(text, 1, length(text) % 17)"), "utf-8").alias(
+            "payload"
+        ),
+        (F.length("text") * 10).cast("int").alias("duration_ms"),
+    )
+    feats = decode_and_featurize(
+        media.where(F.col("kind") != "video"),
+        decoders={"image": fake_image_decoder, "audio": fake_audio_decoder},
+    )
+    dec = (
+        feats.join(media.select("media_id", "source"), "media_id")
+        .groupBy("source")
+        .agg(
+            F.sum(((F.col("kind") == "image") & F.col("decode_ok")).cast("long")).alias("n_img_ok"),
+            F.sum(((F.col("kind") == "audio") & F.col("decode_ok")).cast("long")).alias("n_aud_ok"),
+        )
+    )
+    frames = with_frame_samples(media.where(F.col("kind") == "video"), fps_target=1.0,
+                                max_frames=32)
+    fr = frames.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_frames"),
+        F.sum(F.col("frame_ts_ms").cast("long")).alias("sum_frame_ts"),
+    )
+    base = media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum((F.col("kind") == "video").cast("long")).alias("n_video"),
+    )
+    return (
+        base.join(dec, "source", "left")
+        .join(fr, "source", "left")
+        .select(
+            "source", "n_media",
+            F.coalesce("n_img_ok", F.lit(0)).alias("n_img_ok"),
+            F.coalesce("n_aud_ok", F.lit(0)).alias("n_aud_ok"),
+            "n_video",
+            F.coalesce("total_frames", F.lit(0)).alias("total_frames"),
+            F.coalesce("sum_frame_ts", F.lit(0)).alias("sum_frame_ts"),
+        )
+    )
+
+
+_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id, source, length(text) AS L, doc_id % 3 AS k,
+         length(text) % 17 AS plen
+  FROM documents
+),
+dec AS (
+  SELECT source,
+         COUNT(*) AS n_media,
+         SUM(CASE WHEN k = 1 AND plen > 0 THEN 1 ELSE 0 END) AS n_img_ok,
+         SUM(CASE WHEN k = 2 AND plen > 0 THEN 1 ELSE 0 END) AS n_aud_ok,
+         SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS n_video
+  FROM m GROUP BY source
+),
+v AS (
+  SELECT source, L * 10 AS dur,
+         least(32, greatest(1, CAST(floor(L * 10 / 1000.0 * 1.0) AS INT))) AS nf
+  FROM m WHERE k = 0
+),
+f AS (
+  SELECT source, (dur * 1.0 / nf) AS step, u.i AS i
+  FROM v, UNNEST(generate_series(0, nf - 1)) AS u(i)
+),
+fr AS (
+  SELECT source, COUNT(*) AS total_frames,
+         SUM(CAST(floor(step * i + step / 2) AS BIGINT)) AS sum_frame_ts
+  FROM f GROUP BY source
+)
+SELECT dec.source AS source, n_media,
+       CAST(n_img_ok AS BIGINT) AS n_img_ok,
+       CAST(n_aud_ok AS BIGINT) AS n_aud_ok,
+       CAST(n_video AS BIGINT) AS n_video,
+       COALESCE(total_frames, 0) AS total_frames,
+       COALESCE(sum_frame_ts, 0) AS sum_frame_ts
+FROM dec LEFT JOIN fr ON dec.source = fr.source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "udds_quantile_global": _udds_global,
@@ -1065,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_selfdup_recall": _simhash_selfdup_recall,
         "dedup_pipeline_survivors": _dedup_pipeline_survivors,
         "ivf_recall_check": _ivf_recall_check,
+        "multimodal_pipeline_stats": _multimodal_pipeline_stats,
     }
 
 
@@ -1101,4 +1203,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_selfdup_recall": _MINHASH_SQL,
         "dedup_pipeline_survivors": _SURVIVOR_SQL,
         "ivf_recall_check": _IVF_SQL,
+        "multimodal_pipeline_stats": _MULTIMODAL_SQL,
     }

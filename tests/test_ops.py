@@ -359,3 +359,38 @@ def test_ngram_char_path_short_docs(spark):
     )
     out = ngram_jaccard_pairs(df, n=3, threshold=0.5, use_words=False).collect()
     assert {(r.a, r.b) for r in out} == {(3, 4)}
+
+
+def test_frame_samples_and_decoder_dispatch(spark):
+    """Catalyst frame sampling mirrors frame_sample_plan exactly; per-kind
+    decoder dispatch routes image/audio to their own fakes."""
+    from puddsketch_spark.ops.multimodal import (
+        decode_and_featurize,
+        fake_audio_decoder,
+        fake_image_decoder,
+        frame_sample_plan,
+        with_frame_samples,
+    )
+
+    rows = [("v1", "video", b"x", 4500), ("v2", "video", b"x", 500),
+            ("v3", "video", b"x", 0), ("v4", "video", b"x", 120_000)]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, duration_ms int"
+    )
+    got = {}
+    for r in with_frame_samples(df, fps_target=1.0, max_frames=32).collect():
+        got.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    for mid, _, _, dur in rows:
+        assert got.get(mid, []) == frame_sample_plan(dur, 1.0, 32), (mid, dur)
+
+    media = spark.createDataFrame(
+        [("a", "image", b"abcdefgh" * 4), ("b", "audio", b"abcdefgh" * 4)],
+        "media_id string, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in decode_and_featurize(
+        media, decoders={"image": fake_image_decoder, "audio": fake_audio_decoder}
+    ).collect()}
+    assert out["a"].decode_ok and out["b"].decode_ok
+    assert len(out["a"].feat) == 16  # image fake: 16 chunk means
+    assert len(out["b"].feat) == 8   # audio fake: 4x (mean, range)
+    assert out["a"].feat != out["b"].feat
