@@ -255,3 +255,29 @@ def test_mixed_resolution_merge():
     merged = fine.copy().merge(coarse.copy())
     assert merged.num_collapses == 2 and merged.count == 10_000
     assert merged.same_buckets(coarse.copy().merge(fine.copy()))
+
+
+@pytest.mark.parametrize("mode", ["ddog_low", "ddog_high"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_ddog_merge_associative(mode, seed):
+    """(a + b) + c == a + (b + c) bucket-for-bucket: the trash-bin fold only
+    ever deletes keys that lie below (LowBins) / above (HighBins) the FINAL
+    union's fold target, so intermediate folds cannot change the endpoint —
+    the property treeReduce needs for any reduction topology."""
+    rng = np.random.default_rng(100 + seed)
+    bound = int(rng.integers(6, 24))
+    sks = []
+    for _ in range(3):
+        vals = np.concatenate([
+            rng.lognormal(1, 2, int(rng.integers(0, 40))),
+            -rng.lognormal(1, 2, int(rng.integers(0, 40))),
+        ])
+        sks.append(
+            DDSketchPair(initial_alpha=0.02, m=bound, collapse_mode=mode).update(vals)
+        )
+    a, b, c = sks
+    left = a.copy().merge(b.copy()).merge(c.copy())
+    right = a.copy().merge(b.copy().merge(c.copy()))
+    assert left.same_buckets(right)
+    swapped = c.copy().merge(a.copy()).merge(b.copy())
+    assert left.same_buckets(swapped)
