@@ -52,6 +52,9 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "minhash_selfdup_recall",
         "cosine_topk_embeddings",
         "doc_token_stats",
+        "ddsketch_ddog_quantiles",
+        "heavy_hitters_custkeys",
+        "multimodal_pipeline_stats",
     ]:
         t0 = time.time()
         df = qs[name](spark, sf_dir)

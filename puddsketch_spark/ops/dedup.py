@@ -509,27 +509,26 @@ def embedding_near_dups(
     never all-pairs.
 
     Plane dots: Catalyst literal expressions while bands*planes*dim stays
-    small; at dim 768+ that tree bloats the plan, so "auto" switches to one
-    Arrow-batched matmul (ops.similarity.matrix_dots) — sign bits still
-    derive JVM-side from the returned dot array.
+    small; at dim 768+ that tree bloats the plan, so "auto" switches to ONE
+    Arrow-batched matmul per batch that also packs each band's sign bits
+    into an int64 (smaller join keys, single Python pass), and the exact
+    verify uses a vectorized numpy cosine instead of the interpreted
+    higher-order zip_with fold (which costs ~dim lambda evals per pair).
     """
-    from .similarity import _MAX_CATALYST_COEFFS, matrix_dots
+    from pyspark.sql.types import DoubleType
 
+    from .similarity import _MAX_CATALYST_COEFFS
+
+    if planes_per_band > 62:
+        raise ValueError("planes_per_band must be <= 62 (int64 sig packing)")
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bands * planes_per_band, dim))
     if engine == "auto":
         engine = "catalyst" if planes.size <= _MAX_CATALYST_COEFFS else "arrow"
 
-    def sig_from_dots(dots_col, b: int):
-        bits = [
-            F.when(F.element_at(dots_col, b * planes_per_band + j + 1) >= 0, "1")
-            .otherwise("0")
-            for j in range(planes_per_band)
-        ]
-        return F.concat(*bits)
-
     def band_sig_catalyst(b: int):
+        # small-dim path: codegen'd dot per plane, string of sign bits
         bits = []
         for j in range(planes_per_band):
             row = planes[b * planes_per_band + j]
@@ -546,12 +545,24 @@ def embedding_near_dups(
     # verify (same shuffle discipline as lsh_candidate_pairs)
     vecs = df.select(id_col, vec_col).persist()
     if engine == "arrow":
-        with_dots = vecs.withColumn("_pd", matrix_dots(vec_col, planes))
-        tagged = with_dots.select(
+        mat = np.ascontiguousarray(planes)
+        n_b, n_p = num_bands, planes_per_band
+        weights = (np.int64(1) << np.arange(n_p, dtype=np.int64))
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def band_sig_ints(v: pd.Series) -> pd.Series:
+            x = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+            s = (x @ mat.T) >= 0  # (batch, bands*planes) sign bits
+            packed = np.stack(
+                [s[:, b * n_p : (b + 1) * n_p].astype(np.int64) @ weights
+                 for b in range(n_b)],
+                axis=1,
+            )
+            return pd.Series(list(packed))
+
+        tagged = vecs.select(
             F.col(id_col),
-            F.posexplode(
-                F.array(*[sig_from_dots(F.col("_pd"), b) for b in range(num_bands)])
-            ).alias("band", "sig"),
+            F.posexplode(band_sig_ints(vec_col)).alias("band", "sig"),
         )
     else:
         tagged = vecs.select(
@@ -560,6 +571,9 @@ def embedding_near_dups(
                 F.array(*[band_sig_catalyst(b) for b in range(num_bands)])
             ).alias("band", "sig"),
         )
+    # materialize the banded rows once: both self-join sides reuse the cache
+    # instead of re-running the signature stage
+    tagged = tagged.persist()
     a = tagged.select(F.col(id_col).alias("a"), "band", "sig")
     b = tagged.select(F.col(id_col).alias("b"), "band", "sig")
     pairs = (
@@ -570,10 +584,24 @@ def embedding_near_dups(
     )
     va = vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if engine == "arrow":
+        # interpreted zip_with costs ~dim lambda evals per pair; one numpy
+        # einsum per Arrow batch replaces it at high dim
+        @F.pandas_udf(DoubleType())
+        def cos_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+            a_ = np.stack(x.to_numpy()).astype(np.float64, copy=False)
+            b_ = np.stack(y.to_numpy()).astype(np.float64, copy=False)
+            num = np.einsum("ij,ij->i", a_, b_)
+            den = np.linalg.norm(a_, axis=1) * np.linalg.norm(b_, axis=1)
+            return pd.Series(num / den)
+
+        cosine = cos_udf("va", "vb")
+    else:
+        cosine = _cosine_expr("va", "vb")
     out = (
         pairs.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", _cosine_expr("va", "vb").alias("cosine"))
+        .select("a", "b", cosine.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
-    return _attach_cached(out, [vecs])
+    return _attach_cached(out, [vecs, tagged])

@@ -147,7 +147,7 @@ Identical grouped-UDDSketch job (p50/p90/p99/p999 of text_len by role,
 alpha=0.01, m=200) over identical on-disk transcript tables; each level is a
 fresh JVM CPU-pinned with `taskset` to exactly N cores (local[N] on a shared
 32-CPU box otherwise borrows idle cores for GC/IO and the comparison is
-meaningless). Best-of-2 after an untimed warmup run (steady state).
+meaningless). Best-of-3 after an untimed warmup run (steady state).
 N = {LEVEL_N} cores, 4N = {LEVEL_4N} cores.
 
 ### HEADLINE — flagship JVM-fill UDDSketch path ({jn['n_turns']:,} turns)

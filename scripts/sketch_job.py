@@ -39,7 +39,15 @@ def parse_args(argv=None):
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--max-buckets", type=int, default=200)
     p.add_argument("--engine", choices=["jvm", "arrow"], default="jvm")
-    p.add_argument("--sketch", choices=["udds", "kll", "tdigest"], default="udds")
+    p.add_argument("--sketch", choices=["udds", "dd", "kll", "tdigest"], default="udds")
+    # the reference's compile-time variants as runtime flags:
+    # -DLowBins/-DHighBins (ParallelDDSketch/Makefile:46-47) -> --collapse-mode
+    p.add_argument("--collapse-mode", choices=["uniform", "ddog_low", "ddog_high"],
+                   default="uniform", help="DDSketch pair collapse flavor (--sketch dd)")
+    # the reference's float32 fast-log (uddsketch.cpp:14-78) -> --compat
+    p.add_argument("--compat", action="store_true",
+                   help="udds: reference fast-log bucket keys (bucket-for-bucket "
+                        "golden parity; forces the arrow engine)")
     p.add_argument("--salt-buckets", type=int, default=0,
                    help=">0: salted repartition on conv_id before sketching")
     p.add_argument("--checkpoint", help="dir for resumable per-partition state (arrow engine)")
@@ -79,7 +87,25 @@ def main(argv=None) -> int:
                                 args.salt_buckets)
 
     group = list(args.group_by)
-    if args.sketch == "udds":
+    if args.sketch == "udds" and args.compat:
+        # compat keys come from the reference fast-log — a Python kernel
+        # computation, so the fill must run on the Arrow engine
+        merged = sketch_grouped(
+            df, args.feature, group,
+            lambda: UDDSketch(initial_alpha=args.alpha, m=args.max_buckets, compat=True),
+            UDDSketch.from_bytes,
+        )
+        out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
+    elif args.sketch == "dd":
+        from puddsketch_spark.core import DDSketchPair
+
+        factory = lambda: DDSketchPair(  # noqa: E731
+            initial_alpha=args.alpha, m=args.max_buckets,
+            collapse_mode=args.collapse_mode,
+        )
+        merged = sketch_grouped(df, args.feature, group, factory, DDSketchPair.from_bytes)
+        out = quantile_table(merged, group, args.quantiles, DDSketchPair.from_bytes)
+    elif args.sketch == "udds":
         if args.checkpoint and group:
             # resumable per-partition state requires the Arrow engine's
             # materialized partials (the JVM fill has no partition-level

@@ -130,6 +130,47 @@ def test_lsh_band_join_excludes_signatures(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing pays the join shuffle once at write time: two tables
+    bucketed on the key join with NO Exchange (the 100-TB layout for
+    repeatedly-joined facts), while the plain-parquet join shuffles both
+    sides."""
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.spark.bucketing import read_bucketed, write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                   path=str(tmp_path / "b_orders"))
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+                   "o_orderkey", 8, path=str(tmp_path / "b_li"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # join AND aggregate on the bucket key: the whole pipeline reuses the
+        # write-time partitioning — zero Exchange anywhere in the plan
+        joined = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_lineitem"), "o_orderkey"
+        ).groupBy("o_orderkey").agg(F.sum("l_extendedprice").alias("rev"))
+        tree = _plan(joined).split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree  # co-located buckets: zero shuffle
+        assert joined.count() > 0
+
+        plain = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).groupBy(orders.o_orderkey).agg(F.sum("l_extendedprice").alias("rev"))
+        plain_tree = _plan(plain).split("\n\n")[0]
+        assert "Exchange" in plain_tree  # the shuffle bucketing removes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_cosine_topk_is_take_ordered(spark):
     from puddsketch_spark.ops.similarity import cosine_topk
 
