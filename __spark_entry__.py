@@ -925,7 +925,12 @@ def _minhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = d.union(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     # single-file tables scan as 1-2 splits; spread the CPU-heavy shingling
     doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
-    pairs = minhash_dedup_pairs(doubled, num_perm=64, bands=16, threshold=0.9)
+    # 8 bands x 8 rows: at threshold 0.9 the 16x4 geometry is far too
+    # permissive (the synthetic corpus has high pairwise jaccard, so 4-row
+    # bands collide for ~1.5% of ALL pairs -> ~750k junk candidates at
+    # sf0.1); 8-row bands collide at j^8, cutting candidates ~50x while
+    # exact duplicates (j=1.0) still match every band
+    pairs = minhash_dedup_pairs(doubled, num_perm=64, bands=8, threshold=0.9)
     n_docs = d.count()
     n_self = pairs.where(
         (F.col("b") - F.col("a") == 1_000_000) & (F.col("est_jaccard") == 1.0)
