@@ -68,22 +68,25 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     n_conv = max(1, n_turn_target // 8)
     t0 = time.time()
     t = transcripts(spark, n_conv=n_conv, avg_turns=8, seed=42, with_text=False)
-    t = t.select("role", "text_len").persist()
+    # north_star shape: quantiles grouped by role AND tool
+    t = t.select("role", "tool", "text_len").persist()
     n_turns = t.count()
     gen_s = time.time() - t0
 
     t0 = time.time()
-    merged = sketch_grouped_jvm(t, "text_len", ["role"], 0.01, 200)
-    quantile_table(merged, ["role"], [0.5, 0.9, 0.99, 0.999], UDDSketch.from_bytes).collect()
+    merged = sketch_grouped_jvm(t, "text_len", ["role", "tool"], 0.01, 200)
+    quantile_table(merged, ["role", "tool"], [0.5, 0.9, 0.99, 0.999],
+                   UDDSketch.from_bytes).collect()
     jvm_s = time.time() - t0
     timings["udds_transcripts_grouped_jvm"] = round(jvm_s, 3)
 
     t0 = time.time()
     merged = sketch_grouped(
-        t, "text_len", ["role"],
+        t, "text_len", ["role", "tool"],
         lambda: UDDSketch(initial_alpha=0.01, m=200), UDDSketch.from_bytes,
     )
-    quantile_table(merged, ["role"], [0.5, 0.9, 0.99, 0.999], UDDSketch.from_bytes).collect()
+    quantile_table(merged, ["role", "tool"], [0.5, 0.9, 0.99, 0.999],
+                   UDDSketch.from_bytes).collect()
     arrow_s = time.time() - t0
     t.unpersist()
     timings["udds_transcripts_grouped_arrow"] = round(arrow_s, 3)
