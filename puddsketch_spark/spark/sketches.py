@@ -27,6 +27,7 @@ __all__ = [
     "cms_global",
     "bloom_global",
     "bloom_states",
+    "dd_quantiles",
     "tdigest_quantiles",
     "kll_quantiles",
     "heavy_hitters_global",
@@ -127,6 +128,69 @@ def heavy_hitters_grouped(
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return merged.groupBy(*group_cols).applyInPandas(explode_hh, schema=schema)
+
+
+# ---------------------------------------------------------------- DDSketch
+def dd_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    qs: Iterable[float] = (0.5, 0.9, 0.99, 0.999),
+    alpha: float = 0.01,
+    bound: int = 512,
+    collapse_mode: str = "uniform",
+) -> DataFrame:
+    """Signed-value quantiles via the DDSketch pair (pos/neg stores + B*),
+    any collapse flavor: "uniform" (gamma widens, alpha' grows),
+    "ddog_low" / "ddog_high" (gamma fixed, edge bins fold into a trash bin).
+
+    Output: DataFrame[group..., q, est, q0, q1, alpha_now] — [q0, q1] is the
+    accurate-range window (trash-bin bookkeeping; (0, 1) for uniform mode)
+    and alpha_now the post-collapse error bound, so callers can tell which
+    estimates carry which guarantee.
+    """
+    from ..core.ddsketch import DDSketchPair
+
+    factory = lambda: DDSketchPair(  # noqa: E731
+        initial_alpha=alpha, m=bound, collapse_mode=collapse_mode
+    )
+    qs = [float(q) for q in qs]
+
+    def rows_of(sk) -> list[tuple]:
+        q0, q1 = sk.accurate_range()
+        return [
+            (q, float(sk.quantile(q)), float(q0), float(q1), float(sk.alpha))
+            for q in qs
+        ]
+
+    if not group_cols:
+        sk = sketch_global(df, value_col, factory, DDSketchPair.from_bytes)
+        return df.sparkSession.createDataFrame(
+            rows_of(sk), "q double, est double, q0 double, q1 double, alpha_now double"
+        )
+    merged = sketch_grouped(df, value_col, group_cols, factory, DDSketchPair.from_bytes)
+    group_fields = [f for f in merged.schema.fields if f.name in group_cols]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        group_fields
+        + [
+            StructField("q", DoubleType(), False),
+            StructField("est", DoubleType(), True),
+            StructField("q0", DoubleType(), False),
+            StructField("q1", DoubleType(), False),
+            StructField("alpha_now", DoubleType(), False),
+        ]
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = DDSketchPair.from_bytes(pdf["state"].iloc[0])
+        key = tuple(pdf[g].iloc[0] for g in group_cols)
+        return pd.DataFrame(
+            [key + r for r in rows_of(sk)], columns=[f.name for f in schema.fields]
+        )
+
+    return merged.groupBy(*group_cols).applyInPandas(finalize, schema=schema)
 
 
 # ---------------------------------------------------------------- quantiles

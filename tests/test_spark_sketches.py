@@ -86,3 +86,39 @@ def test_heavy_hitters_grouped(spark):
     hh = heavy_hitters_global(t, "tool", k=16, phi=0.1)
     assert set(hh) <= {"search", "python", "browser", "editor"}
     assert len(hh) >= 1
+
+
+def test_dd_quantiles_grouped_and_modes(spark):
+    """Grouped signed quantiles via the DDSketch pair across all three
+    collapse flavors; the accurate-range columns gate which estimates carry
+    the alpha guarantee."""
+    import numpy as np
+
+    from puddsketch_spark.spark.sketches import dd_quantiles
+
+    rng = np.random.default_rng(21)
+    rows = [("a", float(v)) for v in rng.normal(0, 50, 40_000)] + [
+        ("b", float(v)) for v in rng.lognormal(3, 1, 40_000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(8)
+    pdfs = {}
+    for mode in ("uniform", "ddog_low", "ddog_high"):
+        out = dd_quantiles(df, "v", ["grp"], qs=[0.1, 0.5, 0.9], alpha=0.01,
+                           bound=256, collapse_mode=mode)
+        got = {(r.grp, r.q): r for r in out.collect()}
+        assert len(got) == 6
+        pdfs[mode] = got
+        for (grp, q), r in got.items():
+            assert 0.0 <= r.q0 <= r.q1 <= 1.0
+            if r.q0 <= q <= r.q1:
+                vals = np.array([v for g, v in rows if g == grp])
+                exact = np.sort(vals)[int(np.floor(q * (len(vals) - 1)))]
+                assert abs(r.est - exact) <= r.alpha_now * abs(exact) + 1e-9, (
+                    mode, grp, q,
+                )
+    # uniform mode reports the full window
+    assert all(r.q0 == 0.0 and r.q1 == 1.0 for r in pdfs["uniform"].values())
+    # global (ungrouped) path
+    g = dd_quantiles(df.where("grp = 'b'"), "v", (), qs=[0.5], alpha=0.01,
+                     bound=256, collapse_mode="ddog_low").first()
+    assert g.q == 0.5 and g.est > 0
