@@ -1138,6 +1138,89 @@ FROM dec LEFT JOIN fr ON dec.source = fr.source
 """
 
 
+def _curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation (ops.pipeline.curate_documents) over a corpus
+    with planted formatting-perturbed copies (+1M ids, uppercased+punct —
+    the normalized-exact stage must fold them) and junk documents (+2M ids,
+    '#'-runs — the quality stage must drop them). fuzzy=False here so every
+    stage is SQL-replayable; the fuzzy stage is pytest-covered."""
+    from puddsketch_spark.ops.pipeline import curate_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!!")).alias("text"),
+    )
+    junk = d.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("repeat('#', CAST(doc_id % 30 AS INT))").alias("text"),
+    )
+    corpus = d.union(perturbed).union(junk)
+    curated, stats = curate_documents(corpus, fuzzy=False, quality_threshold=0.5)
+    agg = curated.agg(
+        F.count(F.lit(1)).alias("n_curated_check"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.max("doc_id").alias("max_id"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            int(stats["n_input"]), int(stats["n_after_exact"]),
+            int(stats["n_curated"]), int(agg.total_tokens),
+            float(agg.avg_quality), int(agg.max_id),
+        )],
+        "n_input long, n_after_exact long, n_curated long, total_tokens long, "
+        "avg_quality double, max_id long",
+    )
+
+
+_CURATION_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, upper(text) || '!!!' FROM documents
+  UNION ALL SELECT doc_id + 2000000, repeat('#', CAST(doc_id % 30 AS INT)) FROM documents
+),
+n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS tnorm
+  FROM corpus
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY md5(tnorm)),
+e AS (SELECT n.doc_id, n.text FROM n JOIN keep USING (doc_id)),
+q0 AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
+  FROM e
+),
+q AS (
+  SELECT doc_id, text,
+    round(
+      (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0e0 ELSE 0.0e0 END) * 0.25
+      + least((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0e0 END) / 0.6e0, 1.0e0) * 0.35
+      + (CASE WHEN (CASE WHEN n_chars = 0 THEN 0 ELSE n_space + 1 END) > 0
+              AND ((n_chars - n_space) / (CASE WHEN n_chars = 0 THEN NULL ELSE n_space + 1 END))
+                  BETWEEN 2.0e0 AND 12.0e0
+         THEN 1.0e0 ELSE 0.0e0 END) * 0.2
+      + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 1.0e0 END) <= 0.1e0
+         THEN 1.0e0 ELSE 0.0e0 END) * 0.2
+    , 6) AS quality
+  FROM q0
+),
+c AS (SELECT * FROM q WHERE quality >= 0.5)
+SELECT (SELECT COUNT(*) FROM corpus) AS n_input,
+       (SELECT COUNT(*) FROM e) AS n_after_exact,
+       COUNT(*) AS n_curated,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(AVG(quality), 6) AS avg_quality,
+       MAX(doc_id) AS max_id
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "udds_quantile_global": _udds_global,
@@ -1172,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline_survivors": _dedup_pipeline_survivors,
         "ivf_recall_check": _ivf_recall_check,
         "multimodal_pipeline_stats": _multimodal_pipeline_stats,
+        "curation_pipeline_report": _curation_pipeline_report,
     }
 
 
@@ -1209,4 +1293,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline_survivors": _SURVIVOR_SQL,
         "ivf_recall_check": _IVF_SQL,
         "multimodal_pipeline_stats": _MULTIMODAL_SQL,
+        "curation_pipeline_report": _CURATION_SQL,
     }

@@ -394,3 +394,33 @@ def test_frame_samples_and_decoder_dispatch(spark):
     assert len(out["a"].feat) == 16  # image fake: 16 chunk means
     assert len(out["b"].feat) == 8   # audio fake: 4x (mean, range)
     assert out["a"].feat != out["b"].feat
+
+
+def test_curation_pipeline_fuzzy(spark):
+    """Full pipeline with the fuzzy stage on: formatting-perturbed copies
+    fold at the exact stage, near-dup variants fold at the minhash stage,
+    junk drops at the quality stage; survivors are always the min id."""
+    from puddsketch_spark.ops.pipeline import curate_documents
+
+    near = BASE.replace("lazy", "sleepy").replace("fox", "ox")
+    rows = (
+        [Row(doc_id=0, text=BASE),
+         Row(doc_id=1, text=BASE.upper() + "!!!"),        # exact-normalized dup
+         Row(doc_id=2, text=near),                          # near dup of 0
+         Row(doc_id=3, text="#################"),           # junk
+         Row(doc_id=4, text="a completely different long document about spark "
+                            "dataframes and distributed aggregation pipelines "
+                            "running at terabyte scale with mergeable sketches "
+                            "and bucketed shuffles everywhere in the plan")]
+    )
+    df = spark.createDataFrame(rows)
+    curated, stats = curate_documents(
+        df, quality_threshold=0.5, fuzzy=True,
+        num_perm=64, bands=16, jaccard_threshold=0.5,
+    )
+    ids = sorted(r.doc_id for r in curated.collect())
+    assert stats["n_input"] == 5
+    assert stats["n_after_exact"] == 4          # 1 folded into 0
+    assert stats["n_after_fuzzy"] == 3          # 2 folded into 0
+    assert ids == [0, 4]                         # 3 dropped by quality
+    assert all(r.quality >= 0.5 for r in curated.collect())
