@@ -271,3 +271,44 @@ def test_checkpoint_rejects_changed_input_file(spark, tmp_path):
     os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
     with pytest.raises(ValueError, match="changed since checkpoint"):
         resume_partials(spark, spark.read.parquet(src), "text_len", ["role"], ckpt, _factory)
+
+
+def test_checkpoint_rebuild_scan_for_derived_columns(spark, tmp_path):
+    """Inputs with derived columns resume through rebuild_scan: the caller
+    reproduces its transformation over the missing-file subset."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src3")
+    t = transcripts(spark, n_conv=120, avg_turns=4, seed=13)
+    t.select("conv_id", "role", "text").repartition(3).write.parquet(src)
+
+    def load(spark_, paths):
+        raw = (spark_.read.schema("conv_id string, role string, text string")
+               .parquet(*paths))
+        return raw.withColumn("text_len", F.length("text").cast("double"))
+
+    full_raw = spark.read.parquet(src)
+    files = sorted(full_raw.inputFiles())
+    ckpt = str(tmp_path / "ckpt_derived")
+    # seed from 1 of 3 files, using the derived column
+    resume_partials(spark, load(spark, files[:1]), "text_len", ["role"], ckpt,
+                    _factory, rebuild_scan=load)
+    resumed = resume_partials(spark, load(spark, files), "text_len", ["role"],
+                              ckpt, _factory, rebuild_scan=load)
+    full = partial_sketches(load(spark, files), "text_len", ["role"], _factory)
+    a, b = _merge_all(resumed), _merge_all(full)
+    c = max(a.num_collapses, b.num_collapses)
+    a.collapse(c - a.num_collapses)
+    b.collapse(c - b.num_collapses)
+    assert a.same_buckets(b)
+
+
+def test_binary_doubles_rejects_bad_length(spark, tmp_path):
+    from puddsketch_spark.sources import read_binary_doubles
+
+    p = tmp_path / "bad.bin"
+    p.write_bytes(b"\x00" * 12)  # not a multiple of 8
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="multiple of 8"):
+        read_binary_doubles(spark, str(p)).count()
