@@ -45,6 +45,7 @@ __all__ = [
     "streaming_udds_quantiles",
     "streaming_sketch",
     "streaming_sketch_windowed",
+    "streaming_dedup",
 ]
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
@@ -198,6 +199,91 @@ def streaming_sketch_windowed(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    mode: str = "exact",
+    bloom_bits: int = 1 << 22,
+    bloom_hashes: int = 7,
+):
+    """Streaming exact-content dedup: emit only the FIRST occurrence of each
+    document content across the whole stream.
+
+    Rows are bucketed by a hash prefix of their content digest (n_buckets
+    state groups — sizes the state shards and the shuffle), and each
+    bucket's state tracks the digests seen so far:
+
+    * mode="exact": the state is the sorted set of 16-byte md5 digests —
+      exact, state grows with distinct docs per bucket (fine up to ~10^7
+      distincts per bucket; shard wider for more).
+    * mode="bloom": a fixed-size Bloom filter per bucket — bounded state
+      forever; false positives DROP a few true uniques (rate = the filter's
+      FPR at its fill level, pick bloom_bits for the expected distincts).
+
+    Restart-safe: the digest state lives in the state store, so a resumed
+    query (same checkpointLocation) never re-emits previously seen content.
+    """
+    from pyspark.sql import functions as F
+
+    from ..core.bloom import BloomFilter
+
+    src = stream_df.withColumn(
+        "_digest", F.unhex(F.md5(F.col(text_col)))
+    ).withColumn("_bucket", F.pmod(F.xxhash64(F.col("_digest")), F.lit(n_buckets)))
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            src.schema[text_col],
+            StructField("_bucket", LongType(), False),
+        ]
+    )
+    out_columns = [f.name for f in out_schema.fields]
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if mode == "bloom":
+            if state.exists:
+                bf = BloomFilter.from_bytes(bytes(state.get[0]))
+            else:
+                bf = BloomFilter(num_bits=bloom_bits, num_hashes=bloom_hashes)
+            for pdf in pdfs:
+                # first row per digest within the batch, then one batch
+                # membership probe + one batch insert (no per-row Python)
+                sub = pdf.drop_duplicates(subset=["_digest"], keep="first")
+                digs = np.array([bytes(d) for d in sub["_digest"]], dtype=object)
+                if digs.size == 0:
+                    continue
+                fresh = ~bf.contains(digs)
+                bf.update(digs[fresh])
+                out = sub.loc[fresh]
+                if len(out):
+                    yield out[out_columns]
+            state.update((bf.to_bytes(),))
+            return
+        seen: set = set()
+        if state.exists:
+            blob = bytes(state.get[0])
+            seen = {blob[i : i + 16] for i in range(0, len(blob), 16)}
+        for pdf in pdfs:
+            sub = pdf.drop_duplicates(subset=["_digest"], keep="first")
+            digs = sub["_digest"].map(bytes)
+            fresh = ~digs.isin(seen).to_numpy()
+            seen.update(digs[fresh])
+            out = sub.loc[fresh]
+            if len(out):
+                yield out[out_columns]
+        state.update((b"".join(sorted(seen)),))
+
+    return src.groupBy("_bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -189,3 +189,49 @@ def test_event_time_window_late_data_and_eviction(spark, tmp_path):
         assert n_state <= 2  # only the newest windows remain in-flight
     finally:
         q.stop()
+
+
+@pytest.mark.parametrize("mode", ["exact", "bloom"])
+def test_streaming_dedup_first_occurrence_and_restart(spark, tmp_path, mode):
+    """Streaming exact-content dedup: only first occurrences are emitted,
+    across micro-batches AND across a query restart (the digest state lives
+    in the checkpointed state store)."""
+    from puddsketch_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / f"dsrc_{mode}")
+    ckpt = str(tmp_path / f"dckpt_{mode}")
+    sink = str(tmp_path / f"dsink_{mode}")
+    rows1 = [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc"), (4, "gamma doc")]
+    rows2 = [(5, "beta doc"), (6, "delta doc"), (7, "delta doc")]
+    rows3 = [(8, "alpha doc"), (9, "epsilon doc")]  # after restart
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def start():
+        # parquet sink: the memory sink cannot recover from a checkpoint,
+        # and restart-safety is exactly what this test proves
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_dedup(stream, "text", "doc_id", n_buckets=8, mode=mode)
+        return (out.writeStream.format("parquet").option("path", sink)
+                .outputMode("append").option("checkpointLocation", ckpt).start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart the query from the checkpoint and feed more data
+    q = start()
+    try:
+        spark.createDataFrame(rows3, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r.doc_id: r.text for r in
+               spark.read.parquet(sink).select("doc_id", "text").collect()}
+    finally:
+        q.stop()
+    # first occurrence of each distinct content, nothing else — including
+    # across the restart (doc 8 duplicates content first seen in batch 1)
+    assert got == {1: "alpha doc", 2: "beta doc", 4: "gamma doc",
+                   6: "delta doc", 9: "epsilon doc"}
