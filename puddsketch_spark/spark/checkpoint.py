@@ -155,6 +155,14 @@ def _resume_files(
                 f"{f_uri} (was {known[f_uri]}, now {_fingerprint(f_uri)}); "
                 "delete the checkpoint — resuming would double-count rows"
             )
+    gone = sorted(set(known) - set(input_files))
+    if gone:
+        raise ValueError(
+            f"checkpoint at {path} covers {len(gone)} input file(s) that no "
+            f"longer exist (e.g. {gone[0]}); its partials contain data the "
+            "table no longer has — delete the checkpoint (resume is only "
+            "defined for append-only inputs)"
+        )
     missing = [f_uri for f_uri in input_files if f_uri not in known]
     if not missing:
         return spark.read.parquet(path)

@@ -312,3 +312,22 @@ def test_binary_doubles_rejects_bad_length(spark, tmp_path):
 
     with _pytest.raises(Exception, match="multiple of 8"):
         read_binary_doubles(spark, str(p)).count()
+
+
+def test_checkpoint_rejects_shrunk_input(spark, tmp_path):
+    """Resume over an input missing previously-checkpointed files must fail
+    loudly: the checkpoint's partials would carry data the table no longer
+    has (resume is defined for append-only inputs)."""
+    import os
+
+    src = str(tmp_path / "src4")
+    t = transcripts(spark, n_conv=100, avg_turns=4, seed=17)
+    with_text_len(t).select("role", "text_len").repartition(3).write.parquet(src)
+    full = spark.read.parquet(src)
+    ckpt = str(tmp_path / "ckpt_shrunk")
+    resume_partials(spark, full, "text_len", ["role"], ckpt, _factory)
+    victim = sorted(full.inputFiles())[0].replace("file:", "")
+    os.remove(victim)
+    with pytest.raises(ValueError, match="no longer exist"):
+        resume_partials(spark, spark.read.parquet(src), "text_len", ["role"],
+                        ckpt, _factory)
