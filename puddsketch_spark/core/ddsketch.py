@@ -26,9 +26,14 @@ from .uddsketch import MIN_ADDRESSABLE, _ceil_div
 __all__ = ["DDSketchPair"]
 
 _EMPTY = np.empty(0, dtype=np.int64)
-# init_alpha, alpha, m, collapses, zero, n_pos, n_neg, mode, pair_collapses,
-# fence_neg, fence_pos (fence sentinel: _NOFENCE = None), min_value, max_value
-_HEADER_FMT = "<ddiiqqqiiqqdd"
+# magic+version, then: init_alpha, alpha, m, collapses, zero, n_pos, n_neg,
+# mode, pair_collapses, fence_neg, fence_pos (fence sentinel: _NOFENCE =
+# None), min_value, max_value. The magic word turns a layout change (like
+# the r2 addition of min/max) into an actionable error instead of shifted
+# array offsets and a cryptic buffer-length failure.
+_MAGIC = 0xDD5C
+_VERSION = 2
+_HEADER_FMT = "<HHddiiqqqiiqqdd"
 _NOFENCE = -(2**62)
 _MODES = {"uniform": 0, "ddog_low": 1, "ddog_high": 2}
 _MODES_INV = {v: k for k, v in _MODES.items()}
@@ -383,6 +388,8 @@ class DDSketchPair:
     def to_bytes(self) -> bytes:
         head = struct.pack(
             _HEADER_FMT,
+            _MAGIC,
+            _VERSION,
             self.initial_alpha,
             self.alpha,
             self.m,
@@ -405,8 +412,14 @@ class DDSketchPair:
     @classmethod
     def from_bytes(cls, data: bytes) -> "DDSketchPair":
         data = bytes(data)
-        (init_alpha, _alpha, m, c, zero, n_pos, n_neg,
+        (magic, version, init_alpha, _alpha, m, c, zero, n_pos, n_neg,
          mode, pairc, fneg, fpos, vmin, vmax) = struct.unpack_from(_HEADER_FMT, data, 0)
+        if magic != _MAGIC or version != _VERSION:
+            raise ValueError(
+                f"DDSketchPair blob magic/version mismatch (got {magic:#x} "
+                f"v{version}, want {_MAGIC:#x} v{_VERSION}): written by a "
+                "different build — delete stale checkpoints/state and rerun"
+            )
         off = struct.calcsize(_HEADER_FMT)
 
         def take(n):

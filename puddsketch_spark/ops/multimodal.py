@@ -85,7 +85,13 @@ def fake_audio_decoder(payload: bytes, dim: int = 8) -> np.ndarray:
     chunks = np.array_split(arr, dim // 2 or 1)
     feat = []
     for c in chunks:
-        feat.extend([float(c.mean()), float(c.max() - c.min()) if c.size else 0.0])
+        # guard empty chunks (payload shorter than dim//2): mean() of an
+        # empty slice is NaN and would poison downstream cosine/dedup while
+        # still reporting decode_ok=true
+        feat.extend(
+            [float(c.mean()) if c.size else 0.0,
+             float(c.max() - c.min()) if c.size else 0.0]
+        )
     return np.array(feat[:dim], dtype=np.float32)
 
 

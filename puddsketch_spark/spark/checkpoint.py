@@ -11,12 +11,17 @@ Two lineage modes, picked automatically:
 * **File-level (primary, file-backed sources).** The manifest records every
   completed input file with a (size, mtime) fingerprint. Resume lists the
   input's files, verifies fingerprints of already-completed files (a changed
-  file raises instead of silently double-counting), and builds a NEW scan
-  over ONLY the missing files — a 99%-done job re-reads ~1% of the input,
-  not 100%. Each resume run is appended to ``manifest["runs"]`` with the
-  exact file set its scan planned, so tests (and operators) can audit what
-  was actually re-read. At Iceberg scale the file list would come from the
-  table snapshot; the mechanism is identical.
+  file raises instead of silently double-counting; a vanished file raises —
+  resume is defined for append-only inputs), and builds a NEW scan over
+  ONLY the missing files — a 99%-done job re-reads ~1% of the input, not
+  100%. Each resume run is appended to ``manifest["runs"]`` with the exact
+  file set its scan planned, so tests (and operators) can audit what was
+  actually re-read. Crash-safe: partials are only trusted inside the
+  manifest's committed partition-id ranges, so a run that dies between its
+  parquet append and its manifest rewrite leaves orphan rows that every
+  later read EXCLUDES (and the next resume re-runs those files under a
+  fresh id range). At Iceberg scale the file list would come from the table
+  snapshot; the mechanism is identical.
 
 * **Partition-id (fallback, non-file sources such as generated data).** A
   partition is complete iff its partition_id appears in the checkpoint; the
@@ -96,8 +101,27 @@ def write_partials(
             "files": {f: _fingerprint(f) for f in (input_files or [])},
             "runs": [{"scanned": sorted(input_files or [])}],
             "next_pid_base": num_input_partitions,
+            # partition_id ranges whose partials the manifest vouches for; a
+            # crash BETWEEN a resume append and the manifest rewrite leaves
+            # orphan rows outside every committed range, and the read path
+            # filters them out instead of double-counting
+            "committed_ranges": [[0, num_input_partitions]],
         },
     )
+
+
+def _committed_partials(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """Read the checkpoint parquet restricted to manifest-committed
+    partition-id ranges (orphan rows from crashed appends are excluded)."""
+    df = spark.read.parquet(path)
+    ranges = manifest.get("committed_ranges")
+    if not ranges:
+        return df
+    cond = None
+    for lo, hi in ranges:
+        c = (F.col("partition_id") >= int(lo)) & (F.col("partition_id") < int(hi))
+        cond = c if cond is None else (cond | c)
+    return df.where(cond)
 
 
 def resume_partials(
@@ -165,25 +189,51 @@ def _resume_files(
         )
     missing = [f_uri for f_uri in input_files if f_uri not in known]
     if not missing:
-        return spark.read.parquet(path)
+        return _committed_partials(spark, path, manifest)
 
     # THE point of file-level lineage: the recompute scan plans ONLY the
     # missing files — completed input is never re-read
     if rebuild_scan is not None:
         missing_df = rebuild_scan(spark, missing)
     else:
+        # the default rebuild is a plain parquet read of the leaf files; it
+        # CANNOT reconstruct hive-partition directory columns (they would
+        # silently become NULL groups) or non-parquet sources — demand an
+        # explicit rebuild_scan for those
+        if any("=" in seg for f_uri in missing
+               for seg in urlparse(f_uri).path.split("/")[:-1]):
+            raise ValueError(
+                "input looks hive-partitioned (key=value directories); the "
+                "default missing-file rebuild would NULL the partition "
+                "columns — pass rebuild_scan reproducing the full read"
+            )
+        if not all(urlparse(f_uri).path.endswith(".parquet") for f_uri in missing):
+            raise ValueError(
+                "input files are not parquet; pass rebuild_scan reproducing "
+                "the original source read over a file subset"
+            )
         missing_df = spark.read.schema(df.schema).parquet(*missing)
     pid_base = int(manifest.get("next_pid_base", 0))
+    existing = spark.read.parquet(path)
+    max_pid = existing.agg(F.max("partition_id")).first()[0]
+    if max_pid is not None and max_pid >= pid_base:
+        # orphan rows from a resume that crashed after its append but before
+        # its manifest rewrite: leave them outside every committed range and
+        # start this run's ids above them
+        pid_base = int(max_pid) + 1
     fresh = partial_sketches(missing_df, value_col, group_cols, factory).withColumn(
         "partition_id", (F.col("partition_id") + F.lit(pid_base)).cast("int")
     )
     fresh.write.mode("append").parquet(path)
+    n_fresh_parts = missing_df.rdd.getNumPartitions()
     known.update({f_uri: _fingerprint(f_uri) for f_uri in missing})
     manifest["files"] = known
     manifest.setdefault("runs", []).append({"scanned": sorted(missing_df.inputFiles())})
-    manifest["next_pid_base"] = pid_base + missing_df.rdd.getNumPartitions()
+    manifest.setdefault("committed_ranges", [[0, int(manifest.get("next_pid_base", 0))]])
+    manifest["committed_ranges"].append([pid_base, pid_base + n_fresh_parts])
+    manifest["next_pid_base"] = pid_base + n_fresh_parts
     _write_manifest(path, manifest)
-    return spark.read.parquet(path)
+    return _committed_partials(spark, path, manifest)
 
 
 def _resume_partition_ids(

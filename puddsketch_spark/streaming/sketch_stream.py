@@ -162,6 +162,18 @@ def streaming_sketch_windowed(
     )
     out_columns = [f.name for f in out_schema.fields]
     horizon_ms = (window_seconds + watermark_seconds) * 1000
+    # applyInPandasWithState hands the window_start key over as a NAIVE
+    # timestamp in the SESSION timezone; treating it as UTC would offset
+    # every timeout by the tz (either crashing setTimeoutTimestamp against
+    # the watermark or evicting windows hours early). Capture the session tz
+    # at build time and localize before converting to epoch ms.
+    session_tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
+    def _epoch_ms(naive_ts) -> int:
+        ts = pd.Timestamp(naive_ts)
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz, ambiguous=True, nonexistent="shift_forward")
+        return int(ts.value // 1_000_000)
 
     def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -186,9 +198,8 @@ def streaming_sketch_windowed(
             else:
                 sk.update(col.dropna().to_numpy())
         state.update((sk.to_bytes(),))
-        window_start = key[0]  # pandas Timestamp of the event-time window
-        end_ms = int(pd.Timestamp(window_start).value // 1_000_000) + horizon_ms
-        state.setTimeoutTimestamp(end_ms)
+        window_start = key[0]  # naive session-tz Timestamp of the window
+        state.setTimeoutTimestamp(_epoch_ms(window_start) + horizon_ms)
         yield pd.DataFrame(
             [tuple(key) + tuple(finalize(sk)) + (False,)], columns=out_columns
         )

@@ -86,13 +86,16 @@ def main() -> None:
             check=True,
         )
         cases = []
+        # fixed literal seeds: hash(name) is salted per process (unless
+        # PYTHONHASHSEED is pinned), which would make regeneration
+        # non-reproducible
         specs = [
-            ("uniform", lambda rng: rng.uniform(1.0, 1000.0, 10_000), 0.01),
-            ("lognormal", lambda rng: rng.lognormal(5.0, 1.0, 10_000), 0.01),
-            ("exponential", lambda rng: rng.exponential(10.0, 10_000), 0.005),
+            ("uniform", lambda rng: rng.uniform(1.0, 1000.0, 10_000), 0.01, 101),
+            ("lognormal", lambda rng: rng.lognormal(5.0, 1.0, 10_000), 0.01, 102),
+            ("exponential", lambda rng: rng.exponential(10.0, 10_000), 0.005, 103),
         ]
-        for name, gen, alpha in specs:
-            rng = np.random.default_rng(hash(name) % 2**31)
+        for name, gen, alpha, seed in specs:
+            rng = np.random.default_rng(seed)
             vals = gen(rng).astype("<f8")
             bin_name = f"values_{name}.bin"
             vals.tofile(os.path.join(GOLDEN, bin_name))

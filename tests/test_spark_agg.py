@@ -331,3 +331,64 @@ def test_checkpoint_rejects_shrunk_input(spark, tmp_path):
     with pytest.raises(ValueError, match="no longer exist"):
         resume_partials(spark, spark.read.parquet(src), "text_len", ["role"],
                         ckpt, _factory)
+
+
+def test_checkpoint_survives_crash_between_append_and_manifest(spark, tmp_path):
+    """A resume that died AFTER appending its partials but BEFORE rewriting
+    the manifest must not double-count: its orphan rows sit outside every
+    committed partition-id range, the next resume re-runs the files under a
+    fresh range, and the merged result equals the uninterrupted run."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src5")
+    t = transcripts(spark, n_conv=300, avg_turns=5, seed=19)
+    with_text_len(t).select("role", "text_len").repartition(3).write.parquet(src)
+    full_df = spark.read.parquet(src)
+    files = sorted(full_df.inputFiles())
+    ckpt = str(tmp_path / "ckpt_crash")
+    part_df = spark.read.schema(full_df.schema).parquet(*files[:2])
+    resume_partials(spark, part_df, "text_len", ["role"], ckpt, _factory)
+
+    # emulate the crashed resume: append the third file's partials with the
+    # pid offset a real resume would use, but leave the manifest untouched
+    with open(f"{ckpt}/_sketch_manifest.json") as f:
+        manifest = json.load(f)
+    base = manifest["next_pid_base"]
+    crashed_df = spark.read.schema(full_df.schema).parquet(files[2])
+    orphans = partial_sketches(crashed_df, "text_len", ["role"], _factory).withColumn(
+        "partition_id", (F.col("partition_id") + F.lit(base)).cast("int")
+    )
+    orphans.write.mode("append").parquet(ckpt)
+
+    resumed = resume_partials(spark, full_df, "text_len", ["role"], ckpt, _factory)
+    full = partial_sketches(full_df, "text_len", ["role"], _factory)
+    a, b = _merge_all(resumed), _merge_all(full)
+    assert a.count == b.count  # no double count despite the orphan rows
+    c = max(a.num_collapses, b.num_collapses)
+    a.collapse(c - a.num_collapses)
+    b.collapse(c - b.num_collapses)
+    assert a.same_buckets(b)
+    # the recovery run re-used a FRESH id range above the orphans
+    with open(f"{ckpt}/_sketch_manifest.json") as f:
+        m2 = json.load(f)
+    assert m2["committed_ranges"][-1][0] > base
+
+
+def test_checkpoint_default_rebuild_rejects_hive_partitions(spark, tmp_path):
+    src = str(tmp_path / "src6")
+    t = transcripts(spark, n_conv=60, avg_turns=4, seed=23)
+    (with_text_len(t).select("role", "text_len")
+     .write.partitionBy("role").parquet(src))
+    full = spark.read.parquet(src)
+    ckpt = str(tmp_path / "ckpt_hive")
+    # seed a checkpoint missing some files, then resume without rebuild_scan
+    part_files = sorted(full.inputFiles())[:1]
+    part = spark.read.schema(
+        spark.read.parquet(*part_files).schema
+    ).parquet(*part_files)
+    # the seeding itself is fine (rebuild only triggers on MISSING files)
+    resume_partials(spark, part, "text_len", [], ckpt, _factory)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        resume_partials(spark, full, "text_len", [], ckpt, _factory)
