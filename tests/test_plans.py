@@ -83,6 +83,20 @@ def test_jvm_fill_is_tungsten_partial_agg(spark):
     assert "PushedFilters: [IsNotNull(l_extendedprice)]" in plan
 
 
+def test_arrow_fill_prunes_scan_columns(spark):
+    """The Arrow engine's upstream select must reach the parquet scan: a
+    sketch over (group, value) of a 16-column fact reads exactly 2 columns."""
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import partial_sketches
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = partial_sketches(li, "l_extendedprice", ["l_returnflag"], UDDSketch)
+    plan = _plan(p)
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_returnflag" in read and "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+
+
 def test_arrow_pipeline_shuffles_blobs_not_rows(spark):
     """The keyed merge exchanges hash-partitioned partials (blobs), and the
     pre-shuffle stage output schema is the partial-sketch schema, not raw rows."""
