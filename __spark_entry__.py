@@ -1221,6 +1221,62 @@ FROM c
 """
 
 
+def _stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-stratified sample (10 docs per source by md5
+    rank); the oracle recomputes the identical ranks, so the driver checks
+    the sampled ROWS, not just counts."""
+    from puddsketch_spark.ops.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, ["source"], 10, id_col="doc_id", seed=7)
+
+
+_STRAT_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '7') ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+def _dataset_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mix (the training-mix primitive):
+    quotas 5:3:2 over three sources, target 20 rows. Value-anchored by the
+    per-source kept counts AND the sum of sampled ids (rank-exact)."""
+    from puddsketch_spark.ops.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = weighted_mix(
+        d, "source", {"src0": 5.0, "src1": 3.0, "src2": 2.0},
+        target_total=20, id_col="doc_id", seed=11,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+_MIX_SQL = """
+WITH q AS (
+  SELECT * FROM (VALUES ('src0', 10), ('src1', 6), ('src2', 4)) AS t(source, quota)
+),
+r AS (
+  SELECT d.doc_id, d.source, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '|' || '11') ASC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN q USING (source)
+)
+SELECT source, COUNT(*) AS n_sampled, SUM(doc_id) AS sum_ids
+FROM r WHERE rn <= quota GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "udds_quantile_global": _udds_global,
@@ -1256,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_check": _ivf_recall_check,
         "multimodal_pipeline_stats": _multimodal_pipeline_stats,
         "curation_pipeline_report": _curation_pipeline_report,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "dataset_mix_report": _dataset_mix_report,
     }
 
 
@@ -1294,4 +1352,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_check": _IVF_SQL,
         "multimodal_pipeline_stats": _MULTIMODAL_SQL,
         "curation_pipeline_report": _CURATION_SQL,
+        "stratified_sample_docs": _STRAT_SQL,
+        "dataset_mix_report": _MIX_SQL,
     }

@@ -424,3 +424,34 @@ def test_curation_pipeline_fuzzy(spark):
     assert stats["n_after_fuzzy"] == 3          # 2 folded into 0
     assert ids == [0, 4]                         # 3 dropped by quality
     assert all(r.quality >= 0.5 for r in curated.collect())
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from puddsketch_spark.ops.sampling import stratified_sample, weighted_mix
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    a = {(r.source, r.doc_id) for r in
+         stratified_sample(d, ["source"], 7, seed=3).collect()}
+    # identical sample under different partitioning (determinism contract)
+    b = {(r.source, r.doc_id) for r in
+         stratified_sample(d.repartition(13), ["source"], 7, seed=3).collect()}
+    assert a == b
+    per_src = {}
+    for s, _ in a:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v == 7 for v in per_src.values())  # exactly n per stratum
+    # different seed -> different sample (overwhelmingly)
+    c = {(r.source, r.doc_id) for r in
+         stratified_sample(d, ["source"], 7, seed=4).collect()}
+    assert a != c
+
+    # weighted mix: quotas hit exactly (capped at stratum size)
+    mixed = weighted_mix(d, "source", {"src0": 1.0, "src1": 1.0, "src3": 2.0},
+                         target_total=40, seed=5)
+    counts = {r.source: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert counts == {"src0": 10, "src1": 10, "src3": 20}
+    # un-weighted sources are excluded entirely
+    assert set(counts) == {"src0", "src1", "src3"}
+    # oversized quota caps at the stratum size (25 docs per source here)
+    big = weighted_mix(d, "source", {"src0": 1.0}, target_total=100, seed=5)
+    assert big.count() == 25
