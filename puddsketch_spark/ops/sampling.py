@@ -15,11 +15,11 @@ the standard exact-stratified pattern; rows never route through the driver.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Iterator, Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["stratified_sample", "weighted_mix"]
+__all__ = ["pack_sequences", "stratified_sample", "weighted_mix"]
 
 
 def _rank_in_stratum(strata: Sequence[str], id_col: str, seed: int):
@@ -41,6 +41,74 @@ def stratified_sample(
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget bins (context-length packing
+    for training): adds ``pack_id`` (string, unique across partitions) such
+    that each pack's token sum is <= budget. Documents longer than the
+    budget get a singleton pack (truncation is the tokenizer's business).
+
+    Strategy: deterministic shuffle by md5(id||seed), then per-partition
+    first-fit-decreasing inside one Arrow batch pass — packing is inherently
+    sequential, so it is parallelized BY PARTITION (each partition packs its
+    own slice; at 1000 executors that is 1000 independent packers). FFD
+    wastes <= ~22% in the worst case and ~2-5% on real length mixes; tighter
+    global packing would serialize the job for a few percent of padding.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    pruned = df.repartition(F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                                              F.lit(str(seed)))))
+    out_schema = StructType(
+        list(pruned.schema.fields) + [StructField("pack_id", StringType(), False)]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        for pdf in batches:
+            toks = pdf[token_col].to_numpy()
+            order = np.argsort(-toks, kind="stable")  # decreasing sizes
+            # best-fit-decreasing via a capacity-sorted list: the tightest
+            # bin that still fits is found by bisect (O(n log n) total, vs
+            # the O(n * bins) first-fit scan that degrades on big batches);
+            # BFD carries the same guarantees as FFD
+            rems: list[int] = []  # sorted remaining capacities
+            rbins: list[int] = []  # bin index parallel to rems
+            n_bins = 0
+            assign = np.empty(len(pdf), dtype=np.int64)
+            for i in order:
+                t = int(toks[i])
+                j = bisect.bisect_left(rems, t)
+                if j < len(rems):
+                    rem = rems.pop(j)
+                    b = rbins.pop(j)
+                    new_rem = rem - t
+                else:
+                    b = n_bins
+                    n_bins += 1
+                    new_rem = max(budget - t, 0)
+                k = bisect.bisect_left(rems, new_rem)
+                rems.insert(k, new_rem)
+                rbins.insert(k, b)
+                assign[i] = b
+            out = pdf.copy()
+            out["pack_id"] = [f"p{pid}-{b}" for b in assign]
+            yield out
+
+    return pruned.mapInPandas(pack, schema=out_schema)
 
 
 def weighted_mix(

@@ -455,3 +455,35 @@ def test_stratified_sample_deterministic_and_exact(spark):
     # oversized quota caps at the stratum size (25 docs per source here)
     big = weighted_mix(d, "source", {"src0": 1.0}, target_total=100, seed=5)
     assert big.count() == 25
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Context-length packing: every pack fits the budget (oversized docs get
+    singleton packs), every doc lands in exactly one pack, same input ->
+    same packs, and the packing is reasonably tight."""
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.ops.sampling import pack_sequences
+    from puddsketch_spark.ops.text import token_count
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    d = d.withColumn("n_tokens", token_count("text"))
+    packed = pack_sequences(d, "n_tokens", "doc_id", budget=256, seed=1).cache()
+    assert packed.count() == d.count()  # every doc exactly once
+    sums = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    for r in sums:
+        assert r.tot <= 256 or r.n == 1  # oversized docs pack alone
+    # tightness: average fill of multi-doc packs is well above half
+    multi = [r.tot for r in sums if r.n > 1 and r.tot <= 256]
+    if multi:
+        import numpy as np
+
+        assert np.mean(multi) >= 0.6 * 256
+    # determinism across runs
+    a = {(r.doc_id, r.pack_id) for r in packed.collect()}
+    b = {(r.doc_id, r.pack_id) for r in
+         pack_sequences(d, "n_tokens", "doc_id", budget=256, seed=1).collect()}
+    assert a == b
+    packed.unpersist()
