@@ -97,14 +97,14 @@ def main(argv=None) -> int:
         )
         out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
     elif args.sketch == "dd":
-        from puddsketch_spark.core import DDSketchPair
+        from puddsketch_spark.spark.sketches import dd_quantiles
 
-        factory = lambda: DDSketchPair(  # noqa: E731
-            initial_alpha=args.alpha, m=args.max_buckets,
-            collapse_mode=args.collapse_mode,
-        )
-        merged = sketch_grouped(df, args.feature, group, factory, DDSketchPair.from_bytes)
-        out = quantile_table(merged, group, args.quantiles, DDSketchPair.from_bytes)
+        # dd_quantiles also reports [q0, q1] (the trash-bin accurate window)
+        # and alpha_now per group, so operators can see which estimates
+        # carry which guarantee
+        out = dd_quantiles(df, args.feature, group, args.quantiles,
+                           alpha=args.alpha, bound=args.max_buckets,
+                           collapse_mode=args.collapse_mode)
     elif args.sketch == "udds":
         if args.checkpoint and group:
             # resumable per-partition state requires the Arrow engine's
