@@ -22,9 +22,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["pack_sequences", "stratified_sample", "weighted_mix"]
 
 
+def _det_hash(id_col: str, seed: int):
+    """THE determinism/oracle contract: md5(id || '|' || seed). Every
+    operator in this module must rank/route by this exact expression."""
+    return F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))))
+
+
 def _rank_in_stratum(strata: Sequence[str], id_col: str, seed: int):
-    h = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))))
-    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    w = Window.partitionBy(*strata).orderBy(
+        _det_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
     return F.row_number().over(w)
 
 
@@ -67,8 +74,7 @@ def pack_sequences(
     from pyspark import TaskContext
     from pyspark.sql.types import StringType, StructField, StructType
 
-    pruned = df.repartition(F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
-                                              F.lit(str(seed)))))
+    pruned = df.repartition(_det_hash(id_col, seed))
     out_schema = StructType(
         list(pruned.schema.fields) + [StructField("pack_id", StringType(), False)]
     )
@@ -78,6 +84,13 @@ def pack_sequences(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        # bin state carries ACROSS Arrow batches: a partition larger than
+        # maxRecordsPerBatch arrives as several batches, and per-batch state
+        # would reuse bin indices (pack_id collisions merging unrelated bins
+        # past the budget)
+        rems: list[int] = []  # sorted remaining capacities of open bins
+        rbins: list[int] = []  # bin index parallel to rems
+        n_bins = 0
         for pdf in batches:
             toks = pdf[token_col].to_numpy()
             order = np.argsort(-toks, kind="stable")  # decreasing sizes
@@ -85,12 +98,16 @@ def pack_sequences(
             # bin that still fits is found by bisect (O(n log n) total, vs
             # the O(n * bins) first-fit scan that degrades on big batches);
             # BFD carries the same guarantees as FFD
-            rems: list[int] = []  # sorted remaining capacities
-            rbins: list[int] = []  # bin index parallel to rems
-            n_bins = 0
             assign = np.empty(len(pdf), dtype=np.int64)
             for i in order:
                 t = int(toks[i])
+                if t >= budget:
+                    # oversized doc: singleton pack, never exposed via rems
+                    # (a zero remaining capacity would otherwise admit
+                    # zero-token docs into an already-over-budget pack)
+                    assign[i] = n_bins
+                    n_bins += 1
+                    continue
                 j = bisect.bisect_left(rems, t)
                 if j < len(rems):
                     rem = rems.pop(j)
@@ -99,7 +116,7 @@ def pack_sequences(
                 else:
                     b = n_bins
                     n_bins += 1
-                    new_rem = max(budget - t, 0)
+                    new_rem = budget - t
                 k = bisect.bisect_left(rems, new_rem)
                 rems.insert(k, new_rem)
                 rbins.insert(k, b)
@@ -124,14 +141,20 @@ def weighted_mix(
     dropped; a quota larger than the source is capped at the source size —
     check the output counts if exact proportions matter).
 
-    quota_s = round(target_total * w_s / sum(w)), materialized as a
-    broadcast-joined limit per source + the same md5 rank as
-    stratified_sample.
+    Quotas by largest-remainder allocation, so they sum to EXACTLY
+    target_total (round() would banker's-round .5 quotas to even and
+    silently undershoot); materialized as a broadcast-joined limit per
+    source + the same md5 rank as stratified_sample.
     """
     total_w = float(sum(weights.values()))
-    quotas = [
-        (s, int(round(target_total * w / total_w))) for s, w in sorted(weights.items())
-    ]
+    raw = [(s, target_total * w / total_w) for s, w in sorted(weights.items())]
+    base = {s: int(x) for s, x in raw}
+    leftover = target_total - sum(base.values())
+    # distribute the remainder to the largest fractional parts (ties broken
+    # by source name for determinism)
+    for s, _ in sorted(raw, key=lambda kv: (-(kv[1] - int(kv[1])), kv[0]))[:leftover]:
+        base[s] += 1
+    quotas = sorted(base.items())
     spark = df.sparkSession
     qdf = F.broadcast(
         spark.createDataFrame(quotas, f"{source_col} string, _quota int")

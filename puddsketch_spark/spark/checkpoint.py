@@ -199,13 +199,21 @@ def _resume_files(
         # the default rebuild is a plain parquet read of the leaf files; it
         # CANNOT reconstruct hive-partition directory columns (they would
         # silently become NULL groups) or non-parquet sources — demand an
-        # explicit rebuild_scan for those
-        if any("=" in seg for f_uri in missing
-               for seg in urlparse(f_uri).path.split("/")[:-1]):
+        # explicit rebuild_scan for those. Only directory segments BELOW the
+        # scan root count: an ancestor like /warehouse/env=prod/ is not
+        # partitioning.
+        paths = [urlparse(f_uri).path for f_uri in input_files]
+        root = os.path.commonpath([os.path.dirname(p) for p in paths]) if paths else ""
+        if any(
+            "=" in seg
+            for f_uri in missing
+            for seg in os.path.dirname(urlparse(f_uri).path)[len(root):].split("/")
+        ):
             raise ValueError(
-                "input looks hive-partitioned (key=value directories); the "
-                "default missing-file rebuild would NULL the partition "
-                "columns — pass rebuild_scan reproducing the full read"
+                "input looks hive-partitioned (key=value directories below "
+                "the scan root); the default missing-file rebuild would NULL "
+                "the partition columns — pass rebuild_scan reproducing the "
+                "full read"
             )
         if not all(urlparse(f_uri).path.endswith(".parquet") for f_uri in missing):
             raise ValueError(
@@ -225,13 +233,23 @@ def _resume_files(
         "partition_id", (F.col("partition_id") + F.lit(pid_base)).cast("int")
     )
     fresh.write.mode("append").parquet(path)
-    n_fresh_parts = missing_df.rdd.getNumPartitions()
+    # commit the range from the ids ACTUALLY WRITTEN, not a re-planned
+    # getNumPartitions() (AQE can re-plan a rebuild_scan's shuffle between
+    # the write and a later evaluation, and an undersized range would
+    # silently exclude committed rows)
+    written_max = (
+        spark.read.parquet(path)
+        .where(F.col("partition_id") >= pid_base)
+        .agg(F.max("partition_id"))
+        .first()[0]
+    )
+    hi = (int(written_max) + 1) if written_max is not None else pid_base
     known.update({f_uri: _fingerprint(f_uri) for f_uri in missing})
     manifest["files"] = known
     manifest.setdefault("runs", []).append({"scanned": sorted(missing_df.inputFiles())})
     manifest.setdefault("committed_ranges", [[0, int(manifest.get("next_pid_base", 0))]])
-    manifest["committed_ranges"].append([pid_base, pid_base + n_fresh_parts])
-    manifest["next_pid_base"] = pid_base + n_fresh_parts
+    manifest["committed_ranges"].append([pid_base, hi])
+    manifest["next_pid_base"] = hi
     _write_manifest(path, manifest)
     return _committed_partials(spark, path, manifest)
 

@@ -168,6 +168,15 @@ def streaming_sketch_windowed(
     # the watermark or evicting windows hours early). Capture the session tz
     # at build time and localize before converting to epoch ms.
     session_tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    try:
+        pd.Timestamp("2020-01-01").tz_localize(session_tz)
+    except Exception as exc:  # fail at BUILD time, not per micro-batch
+        raise ValueError(
+            f"session timezone {session_tz!r} is not resolvable by pandas "
+            "(offset forms like 'GMT+8' are accepted by Spark but not by "
+            "tz_localize); set spark.sql.session.timeZone to an IANA zone "
+            "such as 'UTC' for event-time windowed sketches"
+        ) from exc
 
     def _epoch_ms(naive_ts) -> int:
         ts = pd.Timestamp(naive_ts)

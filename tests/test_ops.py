@@ -487,3 +487,37 @@ def test_pack_sequences_budget_and_determinism(spark):
          pack_sequences(d, "n_tokens", "doc_id", budget=256, seed=1).collect()}
     assert a == b
     packed.unpersist()
+
+
+def test_pack_sequences_across_arrow_batches(spark):
+    """Regression: bin state must carry across Arrow batches — per-batch
+    state reused bin indices, merging unrelated bins past the budget."""
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.ops.sampling import pack_sequences
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        d = spark.range(600).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.col("id") * 37, F.lit(90)) + 10).cast("int").alias("n_tokens"),
+        ).repartition(2)  # ~300 rows/partition -> ~6 batches each
+        packed = pack_sequences(d, "n_tokens", "doc_id", budget=128, seed=2)
+        sums = packed.groupBy("pack_id").agg(
+            F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+        ).collect()
+        assert all(r.tot <= 128 for r in sums)  # no doc here exceeds budget
+        assert packed.count() == 600
+        # zero-token docs never join an over-budget singleton
+        d2 = spark.createDataFrame(
+            [(0, 500), (1, 0), (2, 0)], "doc_id long, n_tokens int"
+        )
+        packed2 = pack_sequences(d2, "n_tokens", "doc_id", budget=128, seed=2)
+        by_pack = {}
+        for r in packed2.collect():
+            by_pack.setdefault(r.pack_id, []).append(r.doc_id)
+        big_pack = [p for p, ids in by_pack.items() if 0 in ids][0]
+        assert by_pack[big_pack] == [0]  # the oversized doc packs alone
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
