@@ -1125,7 +1125,7 @@ f AS (
 ),
 fr AS (
   SELECT source, COUNT(*) AS total_frames,
-         SUM(CAST(floor(step * i + step / 2) AS BIGINT)) AS sum_frame_ts
+         CAST(SUM(CAST(floor(step * i + step / 2) AS BIGINT)) AS BIGINT) AS sum_frame_ts
   FROM f GROUP BY source
 )
 SELECT dec.source AS source, n_media,
@@ -1272,8 +1272,84 @@ r AS (
          ) AS rn
   FROM documents d JOIN q USING (source)
 )
-SELECT source, COUNT(*) AS n_sampled, SUM(doc_id) AS sum_ids
+SELECT source, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM r WHERE rn <= quota GROUP BY source
+"""
+
+_PACK_BUDGET = 64
+
+
+def _pack_sequences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing (ops.sampling.pack_sequences) invariants.
+
+    The BFD bin assignment is partition-dependent, so the oracle can't
+    replay pack ids; instead the query emits what IS checkable: conservation
+    (doc count, distinct docs, token sum — must equal the input's),
+    feasibility (zero small packs over budget — packs are 'small' unless
+    their doc is >= budget, which by construction packs as a singleton),
+    and the BFD space bound as a boolean. The bound is the classic
+    at-most-one-half-empty-bin argument applied per packer partition:
+    n_small_packs <= floor(2 * small_tokens / budget) + n_partitions.
+    """
+    from puddsketch_spark.ops.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        d, token_col="n_tokens", id_col="doc_id", budget=_PACK_BUDGET, seed=13
+    )
+    packs = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok"),
+        F.max("n_tokens").alias("max_tok"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    small = F.col("max_tok") < _PACK_BUDGET
+    rep = packs.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("n_distinct").alias("docs_packed"),
+        F.sum("tok").alias("total_tokens"),
+        F.sum("id_sum").alias("sum_doc_ids"),
+        F.sum(F.when(~small, 1).otherwise(0)).alias("oversized_packs"),
+        F.sum(F.when(small & (F.col("tok") > _PACK_BUDGET), 1).otherwise(0)).alias(
+            "over_budget_small"
+        ),
+        F.sum(F.when(~small & (F.col("n_docs") > 1), 1).otherwise(0)).alias(
+            "multi_doc_oversized"
+        ),
+        F.sum(F.when(small, 1).otherwise(0)).alias("_n_small"),
+        F.sum(F.when(small, F.col("tok")).otherwise(0)).alias("_small_tok"),
+        F.countDistinct(F.split(F.col("pack_id"), "-").getItem(0)).alias("_n_parts"),
+    )
+    return rep.select(
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("docs_packed").cast("long").alias("docs_packed"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("sum_doc_ids").cast("long").alias("sum_doc_ids"),
+        F.col("oversized_packs").cast("long").alias("oversized_packs"),
+        F.col("over_budget_small").cast("long").alias("over_budget_small"),
+        F.col("multi_doc_oversized").cast("long").alias("multi_doc_oversized"),
+        (
+            F.col("_n_small")
+            <= F.floor(F.lit(2.0) * F.col("_small_tok") / F.lit(_PACK_BUDGET))
+            + F.col("_n_parts")
+        ).alias("packs_within_bound"),
+    )
+
+
+_PACK_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_packed,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= {_PACK_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS oversized_packs,
+       CAST(0 AS BIGINT) AS over_budget_small,
+       CAST(0 AS BIGINT) AS multi_doc_oversized,
+       TRUE AS packs_within_bound
+FROM documents
 """
 
 
@@ -1314,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_report": _curation_pipeline_report,
         "stratified_sample_docs": _stratified_sample_docs,
         "dataset_mix_report": _dataset_mix_report,
+        "pack_sequences_report": _pack_sequences_report,
     }
 
 
@@ -1354,4 +1431,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline_report": _CURATION_SQL,
         "stratified_sample_docs": _STRAT_SQL,
         "dataset_mix_report": _MIX_SQL,
+        "pack_sequences_report": _PACK_SQL,
     }

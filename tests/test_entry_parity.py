@@ -60,6 +60,25 @@ def test_parity(spark, ddb, name):
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
     assert _rowset(scols, srows) == _rowset(dcols, drows), f"{name}: values differ"
 
+    # Dtype lint: the driver hashes pandas values dtype-sensitively, so a
+    # Spark int64 column paired with a DuckDB HUGEINT (materialized float64 —
+    # e.g. an uncast SUM(BIGINT)) hash-mismatches even when values agree.
+    # Python-level tuple equality above can't see it ((5,) == (5.0,)), so
+    # enforce it at the dtype layer: integer on the Spark side must be
+    # integer on the oracle side. This caught multimodal_pipeline_stats and
+    # dataset_mix_report in rounds 1-2; keep it so the class never recurs.
+    spdf = sdf.toPandas()
+    odf = ddb.execute(sql).df()
+    for col in scols:
+        skind = spdf[col].dtype.kind
+        okind = odf[col].dtype.kind
+        if skind in "iu":
+            assert okind in "iu", (
+                f"{name}.{col}: Spark dtype kind '{skind}' but oracle kind "
+                f"'{okind}' — likely an uncast integer aggregate in the "
+                f"oracle SQL (wrap it in CAST(... AS BIGINT))"
+            )
+
 
 def test_entry_smoke(spark):
     df = entry.entry(spark)
