@@ -789,9 +789,15 @@ WITH doubled AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ),
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM doubled),
-grams AS (
+grams_all AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
   FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+-- mirror of the operator's max_df cap (default 10000; a no-op at this corpus
+-- size, kept so oracle and operator share one gram-universe definition)
+grams AS (
+  SELECT doc_id, gram FROM grams_all
+  QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 10000
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
 inter AS (

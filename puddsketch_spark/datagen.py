@@ -8,7 +8,12 @@ JVM speed and the same recipe would scale out on a real cluster.
 
 Mirrors the reference's seeded per-rank generation discipline
 (/root/reference/psketches/pudds.cpp:118-134): distributions uniform(1,1000)
-and lognormal(5,1) for text length, exponential(1) inter-turn latency.
+and lognormal(5,1) for text length, exponential(1) inter-turn latency, and
+beta via the reference's two-gamma construction Z = X/(X+Y) with
+X~Gamma(a,1), Y~Gamma(b,1)
+(/root/reference/ParallelDDSketch/src/ParallelSketcher.cc:358-366) — here
+with integer shapes so Gamma(k,1) = -log(prod of k uniforms) stays a closed
+Catalyst expression (no rejection sampling in the row path).
 """
 
 from __future__ import annotations
@@ -73,7 +78,7 @@ def transcripts(
     n_conv: int = 1_000,
     avg_turns: int = 8,
     seed: int = 42,
-    length_dist: str = "uniform",  # uniform(1,1000) | lognormal(5,1)
+    length_dist: str = "uniform",  # uniform(1,1000) | lognormal(5,1) | beta(2,5)*999+1
     skew: str | None = None,  # None -> ~uniform conv sizes; "zipf" -> pareto-tailed
     partitions: int | None = None,
     with_text: bool = True,  # False: emit text_len (double) instead of the
@@ -120,6 +125,18 @@ def transcripts(
         # Box-Muller from two deterministic uniforms
         z = F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2.0 * 3.141592653589793) * u2)
         text_len = F.greatest(F.lit(1), F.exp(F.lit(5.0) + z).cast("int"))
+    elif length_dist == "beta":
+        # reference two-gamma construction, integer shapes a=2, b=5:
+        # Gamma(k,1) = sum of k iid Exp(1) = -log(u_1 * ... * u_k)
+        a, b = 2, 5
+        ug = [
+            _u01(F.col("conv"), F.col("turn_idx"), F.lit(seed), F.lit(f"g{i}"))
+            for i in range(a + b)
+        ]
+        gx = -sum((F.log(u) for u in ug[:a]), F.lit(0.0))
+        gy = -sum((F.log(u) for u in ug[a:]), F.lit(0.0))
+        z = gx / (gx + gy)  # ~ Beta(2, 5) on (0, 1)
+        text_len = (F.lit(1) + (z * F.lit(999)).cast("int")).cast("int")
     else:
         raise ValueError(f"unknown length_dist {length_dist!r}")
     # inter-turn latency ~ exponential(1.0) seconds (reference dist set)

@@ -345,6 +345,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     use_words: bool = True,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram-set jaccard for all pairs sharing >=1 gram.
 
@@ -352,6 +353,15 @@ def ngram_jaccard_pairs(
     -> jaccard = |I| / (|A|+|B|-|I|). SQL-expressible (DuckDB oracle).
     At scale the gram join is the bottleneck; use minhash_dedup_pairs there —
     this operator is the exact oracle / small-corpus path.
+
+    ``max_df`` bounds the join fan-out: the self-join is quadratic in
+    per-gram document frequency, so one stopword gram shared by 10^6 docs
+    would alone be a 10^12-row join. Grams with df > max_df are dropped from
+    the gram universe (both intersection AND sizes, so jaccard stays a true
+    set jaccard over the capped universe) — such grams carry near-zero
+    discrimination anyway. The hot-gram list is small by definition, so the
+    drop is one agg plus a broadcast anti-join, never a shuffle of the gram
+    table. Pass ``max_df=None`` for the uncapped textbook definition.
     """
     if use_words:
         toks = F.split(F.col(text_col), " ")
@@ -375,6 +385,16 @@ def ngram_jaccard_pairs(
             ),
         ).otherwise(F.array().cast("array<string>"))
     g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    if max_df is not None:
+        # grams are per-doc distinct (array_distinct above), so the count is
+        # the document frequency
+        hot = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("gram")
+        )
+        g = g.join(F.broadcast(hot), "gram", "left_anti")
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = g.select(F.col(id_col).alias("a"), "gram")
     b = g.select(F.col(id_col).alias("b"), "gram")

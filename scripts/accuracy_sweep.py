@@ -34,6 +34,9 @@ def main() -> None:
         "lognormal(5,1)": lambda g: g.lognormal(5, 1, n),
         "exponential(1)": lambda g: g.exponential(1.0, n) + 1e-12,
         "normal(30,10)+": lambda g: np.clip(g.normal(30, 10, n), 1e-3, None),
+        # the reference's BETA mode (two-gamma construction,
+        # ParallelDDSketch/src/ParallelSketcher.cc:358-366)
+        "beta(2,5)": lambda g: g.beta(2, 5, n) + 1e-12,
     }
     for dist, gen in rng_specs.items():
         for seed in (0, 1):

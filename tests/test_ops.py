@@ -348,6 +348,40 @@ def test_multimodal_plumbing(spark):
     assert frame_sample_plan(0) == []
 
 
+def test_ngram_max_df_caps_hot_gram_fanout(spark):
+    """One universal gram shared by every doc must not create all-pairs
+    candidates when max_df is set: docs that share ONLY the hot gram produce
+    zero rows; genuine near-dups still pair, with jaccard computed over the
+    capped gram universe (hot gram excluded from sizes too)."""
+    from pyspark.sql import Row
+
+    boiler = "the quick brown"  # one word-3-gram shared by all 40 docs
+    rows = [
+        Row(doc_id=i, text=f"{boiler} unique tail words {i} aa{i} bb{i} cc{i}")
+        for i in range(40)
+    ]
+    # planted near-dup pair: identical tails
+    rows.append(Row(doc_id=100, text=f"{boiler} same tail words x y z"))
+    rows.append(Row(doc_id=101, text=f"{boiler} same tail words x y z"))
+    df = spark.createDataFrame(rows)
+
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.9, max_df=10).collect()
+    assert {(r.a, r.b) for r in out} == {(100, 101)}
+    # capped universe: the dup pair is STILL jaccard 1.0 (hot grams removed
+    # from both intersection and sizes symmetrically)
+    assert out[0].jaccard == 1.0
+
+    # threshold 0 exposes the candidate set itself: with the cap, docs that
+    # share only the hot boilerplate gram never become candidates at all
+    cands = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=10).collect()
+    a_ids = {r.a for r in cands} | {r.b for r in cands}
+    assert a_ids == {100, 101}, f"hot gram leaked candidates: {sorted(a_ids)[:10]}"
+
+    # uncapped path unchanged: everything pairs through the boilerplate gram
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=None)
+    assert uncapped.count() == 42 * 41 // 2
+
+
 def test_ngram_char_path_short_docs(spark):
     """Regression: char-gram path must emit no grams for docs shorter than n
     (a truncated gram made all empty docs jaccard-1.0 duplicates)."""

@@ -60,6 +60,66 @@ def test_req_param_mismatch():
         REQSketch(k=32).merge(REQSketch(k=64))
 
 
+# ---------------------------------------------------------------- LRA
+# Low-Rank-Accuracy flavor (reference: DataSketches req_sketch.hpp HRA/LRA
+# template flag): compaction protects the BOTTOM half, so rank error at
+# quantile q shrinks proportionally to q — sharp p001/p0001 (e.g. fastest
+# responses, smallest documents).
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_req_low_rank_accuracy(seed):
+    rng = np.random.default_rng(seed)
+    n = 200_000
+    v = rng.lognormal(5, 1, n)
+    sk = REQSketch(k=64, hra=False)
+    for chunk in np.array_split(v, 20):
+        sk.update(chunk)
+    assert sk.n == n
+    sv = np.sort(v)
+    for q in [0.1, 0.01, 0.001, 0.0001]:
+        est = sk.quantile(q)
+        r = np.searchsorted(sv, est) / n
+        # LRA: rank error shrinks with q (mirror of the HRA bound)
+        assert abs(r - q) <= 0.35 * q + 2e-5, (q, r)
+    # the bottom retained items are exact: the min is always exact
+    assert sk.quantile(0.0) == sv[0]
+
+
+def test_req_lra_beats_hra_at_low_tail():
+    rng = np.random.default_rng(5)
+    v = rng.exponential(10, 300_000)
+    lra = REQSketch(k=64, hra=False).update(v)
+    hra = REQSketch(k=64, hra=True).update(v)
+    sv = np.sort(v)
+    q = 0.0005
+    r_lra = abs(np.searchsorted(sv, lra.quantile(q)) / len(v) - q)
+    r_hra = abs(np.searchsorted(sv, hra.quantile(q)) / len(v) - q)
+    assert r_lra <= r_hra + 1e-6
+
+
+def test_req_lra_merge_and_serde():
+    rng = np.random.default_rng(6)
+    parts = [
+        REQSketch(k=64, hra=False).update(rng.uniform(0, 1, 50_000))
+        for _ in range(4)
+    ]
+    merged = REQSketch.from_bytes(parts[0].to_bytes())
+    assert merged.hra is False  # serde round-trips the flavor flag
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == 200_000
+    for q in [0.1, 0.01]:
+        assert abs(merged.quantile(q) - q) <= 0.05 * q + 0.005
+    rt = REQSketch.from_bytes(merged.to_bytes())
+    assert rt.same_buckets(merged) and rt.n == merged.n and rt.hra is False
+
+
+def test_req_hra_lra_merge_mismatch():
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        REQSketch(k=64, hra=True).merge(REQSketch(k=64, hra=False))
+
+
 # ---------------------------------------------------------------- sources
 def test_read_transcripts_parquet_fallback(spark, tmp_path):
     from puddsketch_spark.datagen import transcripts

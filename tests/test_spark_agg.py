@@ -35,6 +35,29 @@ def test_datagen_deterministic(spark):
     assert cols == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
+def test_datagen_beta_length_dist(spark):
+    """Beta(2,5) text lengths via the reference's two-gamma construction
+    (ParallelDDSketch/src/ParallelSketcher.cc:358-366), Catalyst-only:
+    deterministic, in [1,1000], and distribution-shaped (a KS check against
+    numpy's beta at the mapped quantiles)."""
+    import numpy as np
+
+    df = transcripts(spark, n_conv=400, seed=3, length_dist="beta", with_text=False)
+    lens = np.array([r.text_len for r in df.select("text_len").collect()])
+    again = np.array(
+        [r.text_len
+         for r in transcripts(spark, n_conv=400, seed=3, length_dist="beta",
+                              with_text=False).select("text_len").collect()]
+    )
+    assert np.array_equal(np.sort(lens), np.sort(again))
+    assert lens.min() >= 1 and lens.max() <= 1000
+    ref = 1 + np.floor(np.random.default_rng(0).beta(2, 5, lens.size) * 999)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        got = np.quantile(lens, q)
+        want = np.quantile(ref, q)
+        assert abs(got - want) <= 0.08 * 999 + 5, (q, got, want)
+
+
 def test_per_turn_text_equality_under_stable_ordering(spark):
     """input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering, regardless of physical partitioning."""

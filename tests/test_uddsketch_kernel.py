@@ -221,17 +221,46 @@ def test_reduce_order_invariance_random_trees():
         assert pool[0].same_buckets(ref)
 
 
-def test_compat_fastlog_golden_parity_kernel():
+@pytest.fixture(scope="module")
+def golden_cases():
+    """Load the compiled-reference goldens; rebuild them (once) if the
+    committed artifacts are missing AND a compiler is present, else skip —
+    so ``pytest -x -q`` stays hermetic on a box without g++ and
+    self-healing on one with it."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    manifest = os.path.join(golden_dir, "udds_compat.json")
+    if not os.path.exists(manifest):
+        if shutil.which("g++") is None:
+            pytest.skip("tests/golden/ missing and no g++ to rebuild it "
+                        "(run scripts/gen_golden_compat.py where g++ exists)")
+        script = os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "gen_golden_compat.py"
+        )
+        subprocess.run([sys.executable, script], check=True)
+    with open(manifest) as f:
+        cases = json.load(f)["cases"]
+    # the per-case value files must exist too (a partial checkout would
+    # otherwise fail confusingly inside np.fromfile)
+    for case in cases:
+        if not os.path.exists(os.path.join(golden_dir, case["file"])):
+            pytest.skip(f"golden value file {case['file']} missing")
+    return golden_dir, cases
+
+
+def test_compat_fastlog_golden_parity_kernel(golden_cases):
     """compat=True must reproduce the reference binary's sketches
     bucket-for-bucket. tests/golden/* was generated by COMPILING the
     read-only reference kernel (scripts/gen_golden_compat.py) and dumping
     its exact bucket layout + quantiles for deterministic inputs."""
-    import json
     import os
 
-    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
-    with open(os.path.join(golden_dir, "udds_compat.json")) as f:
-        cases = json.load(f)["cases"]
+    golden_dir, cases = golden_cases
     assert len(cases) >= 3
     for case in cases:
         vals = np.fromfile(os.path.join(golden_dir, case["file"]), dtype="<f8")
@@ -256,20 +285,18 @@ def test_compat_fastlog_golden_parity_kernel():
             assert abs(a - b) <= 3 * case["alpha"] * abs(b) + 1e-12
 
 
-def test_compat_golden_parity_distributed(spark):
+def test_compat_golden_parity_distributed(spark, golden_cases):
     """The same golden inputs replayed through the SPARK pipeline: the
     headerless binary-double source (the reference's VALIDATE input format)
     -> distributed compat fill -> treeReduce merge == the reference binary's
     sequential sketch, bucket-for-bucket (m=0: merge-order invariant)."""
-    import json
     import os
 
     from puddsketch_spark.sources import read_binary_doubles
     from puddsketch_spark.spark.agg import sketch_global
 
-    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
-    with open(os.path.join(golden_dir, "udds_compat.json")) as f:
-        case = json.load(f)["cases"][0]
+    golden_dir, cases = golden_cases
+    case = cases[0]
     df = read_binary_doubles(
         spark, os.path.join(golden_dir, case["file"])
     ).repartition(8)
