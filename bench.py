@@ -2,8 +2,15 @@
 
 Prints ONE JSON line:
   {"metric": "total query wall time", "value": <sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <dir>, plus sketch throughput +
-   scaling info when SPARK_GRAFT_SCALING=1}
+   "queries": {...per-query MEDIAN sec...}, "query_spread": {...[min,max]...},
+   "repeats": N, "sf": <dir>, plus sketch throughput}
+
+Noise control: every timed entry runs SPARK_GRAFT_REPEATS times (default 3)
+and reports the per-query median, with [min, max] spread alongside — this VM's
+run-to-run variance (BENCH/HISTORY.md) made single-shot round comparisons
+need a prose caveat; medians don't. Set SPARK_GRAFT_PIN=1 to pin the whole
+process to the first $SPARK_GRAFT_CPUS cores via taskset (same protocol as
+scripts/scaling.py) so background load doesn't migrate workers mid-query.
 
 Throughput protocol mirrors the reference (updates/s over fill+merge,
 /root/reference/ParallelDDSketch/src/ParallelSketcher.cc:870-879): the
@@ -15,8 +22,30 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+
+def _maybe_pin(cpus: str) -> None:
+    """Re-exec under taskset on the first N cores (opt-in, linux-only)."""
+    if os.environ.get("SPARK_GRAFT_PIN") != "1" or os.environ.get("_SG_PINNED"):
+        return
+    if not str(cpus).isdigit():
+        return
+    os.environ["_SG_PINNED"] = "1"
+    os.execvp("taskset", ["taskset", "-c", f"0-{int(cpus) - 1}", sys.executable]
+              + sys.argv)
+
+
+def _timed(fn, repeats: int) -> list[float]:
+    """Run fn repeats times, return sorted wall times."""
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)
 
 
 def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
@@ -33,8 +62,15 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
 
     spark = get_spark(app_name=f"bench[{cpus}]", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
+
+    def record(name: str, fn) -> None:
+        s = _timed(fn, repeats)
+        timings[name] = round(statistics.median(s), 3)
+        spread[name] = [round(s[0], 3), round(s[-1], 3)]
 
     qs = entry.queries()
     # untimed warmup: spins up codegen + the python worker pool so the first
@@ -56,11 +92,7 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "heavy_hitters_custkeys",
         "multimodal_pipeline_stats",
     ]:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if hasattr(df, "count") else len(df)
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        record(name, lambda name=name: qs[name](spark, sf_dir).count())
 
     # sketch throughput on the north_rule transcript shape: generate (timed
     # separately), then fill+merge, report turns/sec over the sketch phase
@@ -73,27 +105,28 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     n_turns = t.count()
     gen_s = time.time() - t0
 
-    t0 = time.time()
-    merged = sketch_grouped_jvm(t, "text_len", ["role", "tool"], 0.01, 200)
-    quantile_table(merged, ["role", "tool"], [0.5, 0.9, 0.99, 0.999],
-                   UDDSketch.from_bytes).collect()
-    jvm_s = time.time() - t0
-    timings["udds_transcripts_grouped_jvm"] = round(jvm_s, 3)
+    def fill_jvm():
+        merged = sketch_grouped_jvm(t, "text_len", ["role", "tool"], 0.01, 200)
+        quantile_table(merged, ["role", "tool"], [0.5, 0.9, 0.99, 0.999],
+                       UDDSketch.from_bytes).collect()
 
-    t0 = time.time()
-    merged = sketch_grouped(
-        t, "text_len", ["role", "tool"],
-        lambda: UDDSketch(initial_alpha=0.01, m=200), UDDSketch.from_bytes,
-    )
-    quantile_table(merged, ["role", "tool"], [0.5, 0.9, 0.99, 0.999],
-                   UDDSketch.from_bytes).collect()
-    arrow_s = time.time() - t0
+    def fill_arrow():
+        merged = sketch_grouped(
+            t, "text_len", ["role", "tool"],
+            lambda: UDDSketch(initial_alpha=0.01, m=200), UDDSketch.from_bytes,
+        )
+        quantile_table(merged, ["role", "tool"], [0.5, 0.9, 0.99, 0.999],
+                       UDDSketch.from_bytes).collect()
+
+    record("udds_transcripts_grouped_jvm", fill_jvm)
+    record("udds_transcripts_grouped_arrow", fill_arrow)
     t.unpersist()
-    timings["udds_transcripts_grouped_arrow"] = round(arrow_s, 3)
     extras["transcript_turns"] = n_turns
     extras["transcript_gen_sec"] = round(gen_s, 3)
-    extras["sketch_throughput_turns_per_sec_jvm"] = round(n_turns / jvm_s, 1)
-    extras["sketch_throughput_turns_per_sec_arrow"] = round(n_turns / arrow_s, 1)
+    extras["sketch_throughput_turns_per_sec_jvm"] = round(
+        n_turns / timings["udds_transcripts_grouped_jvm"], 1)
+    extras["sketch_throughput_turns_per_sec_arrow"] = round(
+        n_turns / timings["udds_transcripts_grouped_arrow"], 1)
 
     # high-dim embedding audit: dim-768 hyperplane-LSH near-dups via the
     # Arrow matmul engine (no catalyst literal blowup); planted exact dupes
@@ -106,13 +139,17 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     # 16 planes/band: 8-bit bands collide randomly at 0.5^8 and the exact-
     # cosine verify on ~500k junk candidates dominates; 16 bits cuts random
     # collisions ~256x while keeping >0.9 recall at cosine 0.99
-    t0 = time.time()
-    pairs = embedding_near_dups(
-        emb768, threshold=0.99, num_bands=4, planes_per_band=16, engine="auto"
-    )
-    n_pairs = pairs.count()
-    timings["embedding_near_dups_dim768"] = round(time.time() - t0, 3)
-    release_cached(pairs)
+    n_pairs = 0
+
+    def near_dups():
+        nonlocal n_pairs
+        pairs = embedding_near_dups(
+            emb768, threshold=0.99, num_bands=4, planes_per_band=16, engine="auto"
+        )
+        n_pairs = pairs.count()
+        release_cached(pairs)
+
+    record("embedding_near_dups_dim768", near_dups)
     emb768.unpersist()
     extras["dim768_near_dup_pairs"] = n_pairs
     assert n_pairs >= 100  # the planted duplicates must all surface
@@ -120,10 +157,13 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline query wall time (sum)",
+        "metric": "headline query wall time (sum of medians)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
+        "repeats": repeats,
+        "pinned": os.environ.get("_SG_PINNED") == "1",
         "sf": sf_dir,
         "cpus": cpus,
         **extras,
@@ -133,6 +173,7 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _maybe_pin(cpus)
     result = run_bench(sf_dir, cpus)
     print(json.dumps(result))
 
