@@ -504,29 +504,33 @@ FROM orders
 """
 
 
-def _rank_check(spark: SparkSession, sf_dir: str, kind: str, tol: float) -> DataFrame:
+def _rank_check(
+    spark: SparkSession, sf_dir: str, kind: str, tol: float,
+    qs: tuple = None, hra: bool = True,
+) -> DataFrame:
     """Global quantile sketch over l_extendedprice; verify rank error of each
     estimate exactly in a second Spark pass."""
     from puddsketch_spark.spark.sketches import kll_quantiles, tdigest_quantiles
 
+    qs = _QS if qs is None else qs
     li = _t(spark, sf_dir, "lineitem")
     if kind == "req":
         from puddsketch_spark.core import REQSketch
         from puddsketch_spark.spark.agg import sketch_global
 
-        sk = sketch_global(li, "l_extendedprice", lambda: REQSketch(k=64),
+        sk = sketch_global(li, "l_extendedprice", lambda: REQSketch(k=64, hra=hra),
                            REQSketch.from_bytes)
-        ests = {q: sk.quantile(q) for q in _QS}
+        ests = {q: sk.quantile(q) for q in qs}
     else:
         fn = kll_quantiles if kind == "kll" else tdigest_quantiles
-        ests = {r.q: r.est for r in fn(li, "l_extendedprice", (), _QS).collect()}
+        ests = {r.q: r.est for r in fn(li, "l_extendedprice", (), qs).collect()}
     checks = [
         F.avg((F.col("l_extendedprice") <= F.lit(ests[q])).cast("double")).alias(f"r{i}")
-        for i, q in enumerate(_QS)
+        for i, q in enumerate(qs)
     ]
     ranks = li.agg(*checks).first()
     rows = [
-        (float(q), bool(abs(ranks[f"r{i}"] - q) <= tol)) for i, q in enumerate(_QS)
+        (float(q), bool(abs(ranks[f"r{i}"] - q) <= tol)) for i, q in enumerate(qs)
     ]
     return spark.createDataFrame(rows, "q double, rank_ok boolean")
 
@@ -544,9 +548,21 @@ def _req_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_check(spark, sf_dir, "req", tol=0.01)
 
 
+def _req_price_rank_lra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LRA (reference req_sketch.hpp HRA/LRA flag): protect-the-bottom
+    # compaction, so rank error scales with q — checked at LOW quantiles
+    return _rank_check(spark, sf_dir, "req", tol=0.01,
+                       qs=(0.001, 0.01, 0.1, 0.5), hra=False)
+
+
 _RANK_SQL = """
 SELECT q, TRUE AS rank_ok
 FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q)
+"""
+
+_RANK_LRA_SQL = """
+SELECT q, TRUE AS rank_ok
+FROM (VALUES (0.001e0),(0.01e0),(0.1e0),(0.5e0)) AS t(q)
 """
 
 
@@ -1382,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_price_rank": _kll_price_rank,
         "tdigest_price_rank": _tdigest_price_rank,
         "req_price_rank": _req_price_rank,
+        "req_price_rank_lra": _req_price_rank_lra,
         "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
         "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
@@ -1423,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
         "req_price_rank": _RANK_SQL,
+        "req_price_rank_lra": _RANK_LRA_SQL,
         "ddsketch_signed_quantiles": _DD_SQL,
         "ddsketch_ddog_quantiles": _DDOG_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
