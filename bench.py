@@ -29,10 +29,12 @@ import time
 
 def _maybe_pin(cpus: str) -> None:
     """Re-exec under taskset on the first N cores (opt-in, linux-only)."""
+    import shutil
+
     if os.environ.get("SPARK_GRAFT_PIN") != "1" or os.environ.get("_SG_PINNED"):
         return
-    if not str(cpus).isdigit():
-        return
+    if not str(cpus).isdigit() or shutil.which("taskset") is None:
+        return  # degrade to unpinned (reported as pinned=false)
     os.environ["_SG_PINNED"] = "1"
     os.execvp("taskset", ["taskset", "-c", f"0-{int(cpus) - 1}", sys.executable]
               + sys.argv)
@@ -64,12 +66,14 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
                       shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32)
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
+    raw_median: dict[str, float] = {}  # unrounded, for throughput division
     spread: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
     def record(name: str, fn) -> None:
         s = _timed(fn, repeats)
-        timings[name] = round(statistics.median(s), 3)
+        raw_median[name] = statistics.median(s)
+        timings[name] = round(raw_median[name], 3)
         spread[name] = [round(s[0], 3), round(s[-1], 3)]
 
     qs = entry.queries()
@@ -124,9 +128,9 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     extras["transcript_turns"] = n_turns
     extras["transcript_gen_sec"] = round(gen_s, 3)
     extras["sketch_throughput_turns_per_sec_jvm"] = round(
-        n_turns / timings["udds_transcripts_grouped_jvm"], 1)
+        n_turns / raw_median["udds_transcripts_grouped_jvm"], 1)
     extras["sketch_throughput_turns_per_sec_arrow"] = round(
-        n_turns / timings["udds_transcripts_grouped_arrow"], 1)
+        n_turns / raw_median["udds_transcripts_grouped_arrow"], 1)
 
     # high-dim embedding audit: dim-768 hyperplane-LSH near-dups via the
     # Arrow matmul engine (no catalyst literal blowup); planted exact dupes

@@ -28,9 +28,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches amortize the JVM<->Python hop for the UDAFs;
-        # measured on the 50M-turn fill: 256k ~9% faster than 64k, while 1M
-        # regresses (allocator pressure beats pipelining) — so 256k
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        # measured on the 50M-turn fill: 256k ~9% faster than 64k. But the
+        # setting is session-global and 256k quadruples per-batch worker
+        # memory for WIDE rows (a dim-768 embedding batch would be ~800 MB),
+        # so the default stays 64k; narrow-row fill jobs opt into 256k via
+        # extra_conf (scripts/scaling.py does)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # let FINAL aggregations use the generated fast hash map too (Spark
         # defaults it to partial-only); the sketch fill's final agg keys are
         # bounded (groups x buckets), and the fast map falls back gracefully

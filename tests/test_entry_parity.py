@@ -67,17 +67,22 @@ def test_parity(spark, ddb, name):
     # enforce it at the dtype layer: integer on the Spark side must be
     # integer on the oracle side. This caught multimodal_pipeline_stats and
     # dataset_mix_report in rounds 1-2; keep it so the class never recurs.
-    spdf = sdf.toPandas()
+    # Spark-side integer-ness comes from the LOGICAL schema (free — no
+    # re-execution — and stricter: toPandas turns a nullable int column
+    # into float64, which would fail-open the lint).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    spark_int_cols = {f.name for f in sdf.schema.fields
+                      if isinstance(f.dataType, int_types)}
     odf = ddb.execute(sql).df()
-    for col in scols:
-        skind = spdf[col].dtype.kind
+    for col in spark_int_cols:
         okind = odf[col].dtype.kind
-        if skind in "iu":
-            assert okind in "iu", (
-                f"{name}.{col}: Spark dtype kind '{skind}' but oracle kind "
-                f"'{okind}' — likely an uncast integer aggregate in the "
-                f"oracle SQL (wrap it in CAST(... AS BIGINT))"
-            )
+        assert okind in "iu", (
+            f"{name}.{col}: Spark integer column but oracle dtype kind "
+            f"'{okind}' — likely an uncast integer aggregate in the "
+            f"oracle SQL (wrap it in CAST(... AS BIGINT))"
+        )
 
 
 def test_entry_smoke(spark):

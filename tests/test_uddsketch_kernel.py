@@ -235,21 +235,30 @@ def golden_cases():
 
     golden_dir = os.path.join(os.path.dirname(__file__), "golden")
     manifest = os.path.join(golden_dir, "udds_compat.json")
-    if not os.path.exists(manifest):
+
+    def _load():
+        if not os.path.exists(manifest):
+            return None
+        with open(manifest) as f:
+            cases = json.load(f)["cases"]
+        # a present manifest with a missing .bin (partial checkout, stale
+        # clean) is just as broken as a missing manifest
+        for case in cases:
+            if not os.path.exists(os.path.join(golden_dir, case["file"])):
+                return None
+        return cases
+
+    cases = _load()
+    if cases is None:
         if shutil.which("g++") is None:
-            pytest.skip("tests/golden/ missing and no g++ to rebuild it "
+            pytest.skip("tests/golden/ incomplete and no g++ to rebuild it "
                         "(run scripts/gen_golden_compat.py where g++ exists)")
         script = os.path.join(
             os.path.dirname(__file__), "..", "scripts", "gen_golden_compat.py"
         )
         subprocess.run([sys.executable, script], check=True)
-    with open(manifest) as f:
-        cases = json.load(f)["cases"]
-    # the per-case value files must exist too (a partial checkout would
-    # otherwise fail confusingly inside np.fromfile)
-    for case in cases:
-        if not os.path.exists(os.path.join(golden_dir, case["file"])):
-            pytest.skip(f"golden value file {case['file']} missing")
+        cases = _load()
+        assert cases is not None, "golden regeneration did not produce artifacts"
     return golden_dir, cases
 
 
