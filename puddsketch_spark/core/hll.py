@@ -80,6 +80,13 @@ class HLLSketch:
         np.maximum.at(self.regs, idx, rho)
         return self
 
+    def update_weighted(self, values, counts) -> "HLLSketch":
+        """Distinct counting is duplicate-insensitive, so pre-aggregated
+        (value, count) input is just the values — counts carry no
+        information for HLL. Present so the pre_aggregate fill path
+        (spark/agg.py) works uniformly across kernels."""
+        return self.update(values)
+
     def merge(self, other: "HLLSketch") -> "HLLSketch":
         if self.p != other.p:
             raise ValueError(f"HLL precision mismatch: {self.p} != {other.p}")

@@ -77,11 +77,29 @@ def _partial_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
     return StructType([by_name[c] for c in group_cols] + _METRIC_FIELDS)
 
 
+def _kernel_update_weighted(sk, vals: np.ndarray, w: np.ndarray):
+    """Weighted-update dispatch: kernels expose either update_weighted
+    (UDD, t-digest, HLL) or update(values, counts) (CMS, Misra-Gries).
+    Rank-based kernels (KLL, REQ) have no exact weighted form — their
+    compaction samples ITEMS, so they reject the pre-aggregate path."""
+    uw = getattr(sk, "update_weighted", None)
+    if uw is not None:
+        return uw(vals, w)
+    try:
+        return sk.update(vals, w)
+    except TypeError:
+        raise TypeError(
+            f"{type(sk).__name__} does not support weighted update; "
+            "use pre_aggregate=False for this kernel"
+        ) from None
+
+
 def partial_sketches(
     df: DataFrame,
     value_col: str,
     group_cols: Sequence[str] = (),
     factory: SketchFactory = UDDSketch,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Stage 1: one sketch row per (group x input-partition).
 
@@ -96,7 +114,8 @@ def partial_sketches(
     """
     group_cols = list(group_cols)
     schema = _partial_schema(df, group_cols)
-    pruned = df.select(*group_cols, value_col)
+    sel = [*group_cols, value_col] + ([weight_col] if weight_col else [])
+    pruned = df.select(*sel)
     tname = pruned.schema[value_col].dataType.typeName()
     numeric_value = tname in {
         "double", "float", "integer", "long", "short", "byte", "decimal",
@@ -130,9 +149,20 @@ def partial_sketches(
             else:
                 vals_all = vcol.to_numpy(zero_copy_only=False)
                 valid = ~np.asarray(vcol.is_null())
+            w_all = None
+            if weight_col is not None:
+                w_all = (
+                    batch.column(len(group_cols) + 1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
             if not group_cols:
                 sk = sketches.setdefault((), factory())
-                sk.update(vals_all if valid is None else vals_all[valid])
+                sl = slice(None) if valid is None else valid
+                if w_all is None:
+                    sk.update(vals_all[sl])
+                else:
+                    _kernel_update_weighted(sk, vals_all[sl], w_all[sl])
                 continue
             # dictionary-encode each group col: int codes, tiny value dicts
             code_arrays, dicts = [], []
@@ -164,7 +194,10 @@ def partial_sketches(
                 idx = order[g0:g1]
                 if valid is not None:
                     idx = idx[valid[idx]]
-                sk.update(vals_all[idx])
+                if w_all is None:
+                    sk.update(vals_all[idx])
+                else:
+                    _kernel_update_weighted(sk, vals_all[idx], w_all[idx])
         cols: list[list] = [[] for _ in range(len(group_cols))]
         states, ns, bs, cs, pids = [], [], [], [], []
         for key, sk in sketches.items():
@@ -249,10 +282,30 @@ def sketch_grouped(
     group_cols: Sequence[str],
     factory: SketchFactory = UDDSketch,
     from_bytes: Callable[[bytes], object] | None = None,
+    pre_aggregate: bool = False,
 ) -> DataFrame:
-    """partials -> keyed merge. Returns DataFrame[group..., state, n, buckets, collapses, num_partials]."""
+    """partials -> keyed merge. Returns DataFrame[group..., state, n, buckets, collapses, num_partials].
+
+    ``pre_aggregate=True`` runs a Tungsten ``groupBy(group, value).count()``
+    FIRST and feeds (value, weight) pairs to the kernel — the JVM->Python
+    Arrow exchange then carries |distinct (group, value)| rows instead of N.
+    The right call for duplicate-heavy columns (integer-ish features,
+    categorical values): at 10^12 turns with ~10^3 distinct lengths per
+    group, the Python stage sees ~10^3 rows per group instead of 10^9.
+    Wrong call for near-unique columns (the extra shuffle buys nothing).
+    Exact for UDD/t-digest/CMS/Misra-Gries (weighted update) and HLL
+    (duplicate-insensitive); rank-compaction kernels (KLL, REQ) reject it.
+    """
     fb = from_bytes or _default_from_bytes(factory)
-    return merge_grouped(partial_sketches(df, value_col, group_cols, factory), group_cols, fb)
+    if pre_aggregate:
+        counts = df.groupBy(*group_cols, value_col).agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        partials = partial_sketches(counts, value_col, group_cols, factory,
+                                    weight_col="_w")
+    else:
+        partials = partial_sketches(df, value_col, group_cols, factory)
+    return merge_grouped(partials, group_cols, fb)
 
 
 def _default_from_bytes(factory: SketchFactory):
@@ -266,6 +319,7 @@ def sketch_global(
     factory: SketchFactory = UDDSketch,
     from_bytes: Callable[[bytes], object] | None = None,
     depth: int = 2,
+    pre_aggregate: bool = False,
 ):
     """Global sketch via two-level treeReduce over serialized partials.
 
@@ -273,9 +327,16 @@ def sketch_global(
     (/root/reference/psketches/pudds.cpp:45-57,175-182): executors pairwise-
     merge blobs at ``depth`` levels, the driver receives one blob.
     Returns the merged kernel object (driver-side, like rank 0).
+    ``pre_aggregate``: see sketch_grouped — Tungsten distinct-count first,
+    weighted kernel fill after; for duplicate-heavy value columns.
     """
     fb = from_bytes or _default_from_bytes(factory)
-    partials = partial_sketches(df, value_col, (), factory)
+    if pre_aggregate:
+        counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_w"))
+        partials = partial_sketches(counts, value_col, (), factory,
+                                    weight_col="_w")
+    else:
+        partials = partial_sketches(df, value_col, (), factory)
     # persist: isEmpty (take(1)) would otherwise run the full sketch build
     # for partition 0 and treeReduce would recompute everything again
     blobs = partials.select("state").rdd.map(lambda r: bytes(r[0])).persist()

@@ -101,6 +101,57 @@ def test_grouped_matches_exact_within_alpha(spark, tdf):
         assert abs(e - x) / x <= 0.011, (role, q, e, x)
 
 
+def test_pre_aggregate_path_bucket_exact(spark, tdf):
+    """pre_aggregate=True (Tungsten distinct-count -> weighted kernel fill)
+    must produce the SAME sketch as the row-at-a-time path: with no
+    collapses (m=0 = unbounded) the bucket stores are bit-identical, since
+    update and update_weighted increment the same keys by the same totals."""
+    plain = {
+        r.role: UDDSketch.from_bytes(bytes(r.state))
+        for r in sketch_grouped(
+            tdf, "text_len", ["role"],
+            lambda: UDDSketch(initial_alpha=0.01, m=0)).collect()
+    }
+    pre = {
+        r.role: UDDSketch.from_bytes(bytes(r.state))
+        for r in sketch_grouped(
+            tdf, "text_len", ["role"],
+            lambda: UDDSketch(initial_alpha=0.01, m=0),
+            pre_aggregate=True).collect()
+    }
+    assert set(plain) == set(pre)
+    for role, sk in plain.items():
+        assert sk.same_buckets(pre[role]), role
+        assert sk.count == pre[role].count
+
+
+def test_pre_aggregate_hll_and_cms(spark, tdf):
+    """HLL ignores weights (duplicate-insensitive) -> identical registers;
+    CMS takes counts -> identical frequency estimates."""
+    from puddsketch_spark.core import CountMinSketch, HLLSketch
+
+    for fac in (lambda: HLLSketch(p=12), lambda: CountMinSketch()):
+        a = {r.role: bytes(r.state)
+             for r in sketch_grouped(tdf, "turn_idx", ["role"], fac).collect()}
+        b = {r.role: bytes(r.state)
+             for r in sketch_grouped(tdf, "turn_idx", ["role"], fac,
+                                     pre_aggregate=True).collect()}
+        assert a == b  # byte-identical states
+
+
+def test_pre_aggregate_rejects_rank_kernels(spark, tdf):
+    """KLL compaction samples items — no exact weighted form; the
+    pre-aggregate path must fail loudly, not silently skew ranks."""
+    from py4j.protocol import Py4JJavaError
+
+    from puddsketch_spark.core import KLLSketch
+
+    with pytest.raises((TypeError, Py4JJavaError, Exception),
+                       match="weighted|KLL"):
+        sketch_grouped(tdf, "text_len", ["role"], lambda: KLLSketch(k=128),
+                       pre_aggregate=True).collect()
+
+
 def test_global_treereduce_matches_kernel(spark, tdf):
     sk = sketch_global(tdf, "text_len", _factory)
     vals = np.array([r[0] for r in tdf.select("text_len").collect()])
