@@ -690,6 +690,53 @@ FROM qs CROSS JOIN nn
 """
 
 
+def _dd_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED signed DDSketch quantiles (dd_quantiles keyed path: Arrow
+    partial fill per (group x partition) -> applyInPandas merge) over the
+    same mixed-sign feature, by event_type. m=0 (no collapse) makes the
+    merged store independent of merge order, so the oracle replays the
+    per-group sign-split rank walk bit-for-bit."""
+    from puddsketch_spark.spark.sketches import dd_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") - F.lit(50.0)).alias("v")
+    ).where(~F.isnan("v"))
+    out = dd_quantiles(ev, "v", ["event_type"], qs=(0.1, 0.5, 0.9),
+                       alpha=_A, bound=0, collapse_mode="uniform")
+    return out.select("event_type", "q", "est", "q0", "q1", "alpha_now")
+
+
+_DD_GROUPED_SQL = f"""
+WITH vals AS (
+  SELECT event_type AS g, value - 50.0e0 AS v FROM events WHERE NOT isnan(value)
+),
+keyed AS (
+  SELECT g,
+         CASE WHEN abs(v) < 2.2250738585072014e-308 THEN 0
+              WHEN v > 0 THEN 1 ELSE -1 END AS s,
+         CASE WHEN abs(v) >= 2.2250738585072014e-308
+              THEN CAST(ceil(ln(abs(v))/ln({_G_SQL})) AS BIGINT) ELSE 0 END AS k
+  FROM vals
+),
+b AS (SELECT g, s, k, COUNT(*) AS c FROM keyed GROUP BY g, s, k),
+o AS (SELECT g, s, k, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY s ASC, s*k ASC) AS cumc
+      FROM b),
+nn AS (SELECT g, COUNT(*) AS n FROM keyed GROUP BY g),
+qs AS (SELECT * FROM (VALUES (0.1e0),(0.5e0),(0.9e0)) AS t(q))
+SELECT nn.g AS event_type, qs.q AS q,
+       (SELECT CASE WHEN o.s = 0 THEN 0.0e0
+                    ELSE o.s * power({_G_SQL}, o.k)
+                         * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) END
+        FROM o
+        WHERE o.g = nn.g AND o.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT)
+        ORDER BY o.s ASC, o.s*o.k ASC LIMIT 1) AS est,
+       0.0e0 AS q0, 1.0e0 AS q1,
+       ({_G_SQL} - 1.0e0) / ({_G_SQL} + 1.0e0) AS alpha_now
+FROM qs CROSS JOIN nn
+"""
+
+
 _DDOG_BOUND = 128
 
 
@@ -1400,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_price_rank": _req_price_rank,
         "req_price_rank_lra": _req_price_rank_lra,
         "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
+        "dd_quantiles_by_type": _dd_quantiles_by_type,
         "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
@@ -1442,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "req_price_rank": _RANK_SQL,
         "req_price_rank_lra": _RANK_LRA_SQL,
         "ddsketch_signed_quantiles": _DD_SQL,
+        "dd_quantiles_by_type": _DD_GROUPED_SQL,
         "ddsketch_ddog_quantiles": _DDOG_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,

@@ -509,8 +509,13 @@ def udds_quantiles(
     alpha: float = 0.01,
     m: int = 200,
     engine: str = "jvm",
+    pre_aggregate: bool = False,
 ) -> DataFrame:
     """One-call UDDSketch quantile summary, grouped or global.
+
+    ``pre_aggregate`` applies to engine="python" only (the JVM engine IS a
+    pre-aggregation — its Tungsten histogram already ships distinct bucket
+    keys); see sketch_grouped.
 
     Flagship API: p50/p90/p99/p999 of a numeric feature grouped by e.g.
     role/tool, at relative-error alpha with memory bounded by m buckets.
@@ -546,9 +551,11 @@ def udds_quantiles(
         )
     factory = lambda: UDDSketch(initial_alpha=alpha, m=m)  # noqa: E731
     if group_cols:
-        merged = sketch_grouped(df, value_col, group_cols, factory, UDDSketch.from_bytes)
+        merged = sketch_grouped(df, value_col, group_cols, factory,
+                                UDDSketch.from_bytes, pre_aggregate=pre_aggregate)
         return quantile_table(merged, group_cols, qs, UDDSketch.from_bytes)
-    sk = sketch_global(df, value_col, factory, UDDSketch.from_bytes)
+    sk = sketch_global(df, value_col, factory, UDDSketch.from_bytes,
+                       pre_aggregate=pre_aggregate)
     spark = df.sparkSession
     return spark.createDataFrame(
         [(float(q), float(sk.quantile(q))) for q in qs], schema="q double, est double"

@@ -50,6 +50,14 @@ def parse_args(argv=None):
                         "golden parity; forces the arrow engine)")
     p.add_argument("--salt-buckets", type=int, default=0,
                    help=">0: salted repartition on conv_id before sketching")
+    p.add_argument("--pre-aggregate", action="store_true",
+                   help="Arrow engine: Tungsten groupBy(value).count() first, "
+                        "weighted kernel fill after — exchange carries distinct "
+                        "values, not rows (duplicate-heavy columns; "
+                        "udds/tdigest only)")
+    p.add_argument("--length-dist", choices=["uniform", "lognormal", "beta"],
+                   default="uniform",
+                   help="--generate: text length distribution (reference set)")
     p.add_argument("--checkpoint", help="dir for resumable per-partition state (arrow engine)")
     p.add_argument("--output", help="parquet dir for the quantile table (default: stdout)")
     p.add_argument("--master", default=None)
@@ -71,10 +79,14 @@ def main(argv=None) -> int:
     from puddsketch_spark.spark.session import get_spark
     from puddsketch_spark.spark.skew import salted_repartition
 
+    if args.pre_aggregate and args.sketch in ("kll", "dd"):
+        raise SystemExit(f"--pre-aggregate is not exact for --sketch {args.sketch} "
+                         "(rank compaction / pair stores sample items)")
     spark = get_spark(app_name="sketch_job", master=args.master)
     t0 = time.time()
     if args.generate:
-        df = transcripts(spark, n_conv=max(1, args.generate // 8), seed=args.seed)
+        df = transcripts(spark, n_conv=max(1, args.generate // 8), seed=args.seed,
+                         length_dist=args.length_dist)
     else:
         df = spark.read.parquet(args.input)
     if args.feature == "text_len":
@@ -93,7 +105,7 @@ def main(argv=None) -> int:
         merged = sketch_grouped(
             df, args.feature, group,
             lambda: UDDSketch(initial_alpha=args.alpha, m=args.max_buckets, compat=True),
-            UDDSketch.from_bytes,
+            UDDSketch.from_bytes, pre_aggregate=args.pre_aggregate,
         )
         out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
     elif args.sketch == "dd":
@@ -124,7 +136,8 @@ def main(argv=None) -> int:
         else:
             out = udds_quantiles(df, args.feature, group, args.quantiles,
                                  args.alpha, args.max_buckets,
-                                 engine="jvm" if args.engine == "jvm" else "python")
+                                 engine="jvm" if args.engine == "jvm" else "python",
+                                 pre_aggregate=args.pre_aggregate)
     else:
         factory = (lambda: KLLSketch(k=200)) if args.sketch == "kll" else (lambda: TDigest())
         from_bytes = KLLSketch.from_bytes if args.sketch == "kll" else TDigest.from_bytes
@@ -134,7 +147,8 @@ def main(argv=None) -> int:
             merged = checkpointed_sketch_grouped(
                 spark, df, args.feature, group, args.checkpoint, factory, from_bytes)
         else:
-            merged = sketch_grouped(df, args.feature, group, factory, from_bytes)
+            merged = sketch_grouped(df, args.feature, group, factory, from_bytes,
+                                    pre_aggregate=args.pre_aggregate)
         out = quantile_table(merged, group, args.quantiles, from_bytes)
 
     if args.output:
