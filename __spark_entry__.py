@@ -95,6 +95,46 @@ FROM kq
 """
 
 
+def _udds_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two features (l_extendedprice, l_quantity) sketched in ONE scan via
+    udds_quantiles_multi (Catalyst stack -> one Tungsten histogram keyed by
+    feature). m=0: bit-exact bucket walk, oracled per feature."""
+    from puddsketch_spark.spark.agg import udds_quantiles_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    return udds_quantiles_multi(
+        li, ["l_extendedprice", "l_quantity"], (), qs=_QS, alpha=_A, m=0
+    )
+
+
+_UDDS_MULTI_SQL = f"""
+WITH stacked AS (
+  SELECT 'l_extendedprice' AS feature, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+),
+keyed AS (
+  SELECT feature, CAST(ceil(ln(v)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM stacked WHERE v >= 2.2250738585072014e-308
+),
+b AS (SELECT feature, k, COUNT(*) AS c FROM keyed GROUP BY feature, k),
+cum AS (SELECT feature, k, SUM(c) OVER (PARTITION BY feature ORDER BY k) AS cumc FROM b),
+nn AS (SELECT feature, COUNT(*) AS n FROM keyed GROUP BY feature),
+qs AS (SELECT * FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q)),
+kq AS (
+  SELECT nn.feature, qs.q, nn.n,
+         (SELECT MIN(k) FROM cum
+          WHERE cum.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT)
+            AND cum.feature = nn.feature) AS kq
+  FROM nn CROSS JOIN qs
+)
+SELECT kq.feature AS feature, kq.q AS q,
+       power({_G_SQL}, kq.kq) * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       kq.n AS n
+FROM kq
+"""
+
+
 # --------------------------------------------------------------------------
 # relational operators
 # --------------------------------------------------------------------------
@@ -1426,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "udds_quantile_global": _udds_global,
         "udds_quantile_by_flag": _udds_by_flag,
+        "udds_multi_feature": _udds_multi_feature,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue_orders": _q3_top_revenue_orders,
         "events_type_stats": _events_type_stats,
@@ -1469,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "udds_quantile_global": _udds_oracle(None),
         "udds_quantile_by_flag": _udds_oracle("l_returnflag"),
+        "udds_multi_feature": _UDDS_MULTI_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_revenue_orders": _Q3_SQL,
         "events_type_stats": _EVENTS_SQL,

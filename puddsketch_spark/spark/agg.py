@@ -356,9 +356,14 @@ def quantile_table(
     group_cols: Sequence[str],
     qs: Sequence[float],
     from_bytes: Callable[[bytes], object] = UDDSketch.from_bytes,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Finalize: DataFrame[group..., q, est] from merged sketch states."""
+    """Finalize: DataFrame[group..., q, est, extra...] from merged sketch
+    states. ``extra_cols`` pass through columns of ``merged`` (e.g. the n
+    metric) WITHOUT a self-join — joining the finalized table back to
+    ``merged`` would recompute the whole fill pipeline (second scan)."""
     qs = [float(q) for q in qs]
+    extra_cols = list(extra_cols)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def q_udf(states: pd.Series) -> pd.Series:
@@ -369,9 +374,11 @@ def quantile_table(
         merged.withColumn("_ests", q_udf("state"))
         .select(
             *group_cols,
+            *extra_cols,
             F.explode(F.arrays_zip(qlits.alias("q"), F.col("_ests").alias("est"))).alias("_z"),
         )
-        .select(*group_cols, F.col("_z.q").alias("q"), F.col("_z.est").alias("est"))
+        .select(*group_cols, F.col("_z.q").alias("q"), F.col("_z.est").alias("est"),
+                *extra_cols)
     )
 
 
@@ -499,6 +506,37 @@ def udds_quantile_table_jvm(
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return buckets.groupBy(*group_cols).applyInPandas(finalize, schema=schema)
+
+
+def udds_quantiles_multi(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    qs: Iterable[float] = (0.5, 0.9, 0.99, 0.999),
+    alpha: float = 0.01,
+    m: int = 200,
+) -> DataFrame:
+    """Quantiles for SEVERAL numeric features in ONE scan.
+
+    The reference runs one reduction per binary invocation; on a 100 TB
+    table the scan dominates, so re-reading it per feature is the real
+    cost. Here the feature columns stack into (feature, value) rows with a
+    Catalyst ``stack`` (codegen'd, no Python, no extra scan) and feature
+    becomes the leading group key of the SAME Tungsten bucket-histogram
+    fill — N features for one scan and one shuffle of bucket counts.
+
+    Output: DataFrame[feature, group..., q, est, n].
+    """
+    group_cols = list(group_cols)
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in value_cols)
+    stacked = df.select(
+        *group_cols,
+        F.expr(f"stack({len(value_cols)}, {pairs}) as (feature, _value)"),
+    )
+    gcols = ["feature", *group_cols]
+    merged = sketch_grouped_jvm(stacked, "_value", gcols, alpha, m)
+    return quantile_table(merged, gcols, list(qs), UDDSketch.from_bytes,
+                          extra_cols=["n"])
 
 
 def udds_quantiles(

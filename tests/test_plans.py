@@ -192,3 +192,23 @@ def test_cosine_topk_is_take_ordered(spark):
     q = emb.first().embedding
     plan = _plan(cosine_topk(emb, q, k=5))
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort
+
+
+def test_multi_feature_sketch_scans_once(spark):
+    """udds_quantiles_multi: N features must cost ONE scan — the stack is a
+    codegen'd expand over the single FileScan, never a per-feature re-read,
+    and the fill is still a Tungsten partial aggregation."""
+    from puddsketch_spark.spark.agg import udds_quantiles_multi
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = udds_quantiles_multi(li, ["l_extendedprice", "l_quantity"], (),
+                              qs=[0.5, 0.99], alpha=0.01, m=0)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in tree or "Generate" in tree  # the stack node
+    assert "HashAggregate" in tree  # Tungsten fill
+    # only the two feature columns reach the scan
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read and "l_quantity" in read
+    assert "l_orderkey" not in read
