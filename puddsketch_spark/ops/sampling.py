@@ -22,6 +22,56 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["pack_sequences", "stratified_sample", "weighted_mix"]
 
 
+class _BFDState:
+    """Best-fit-decreasing bin state, carried ACROSS Arrow batches within a
+    partition (per-batch state would reuse bin indices and merge unrelated
+    bins past the budget). Pure-python so the packing invariants are
+    property-testable without Spark (tests/test_properties.py)."""
+
+    __slots__ = ("rems", "rbins", "n_bins")
+
+    def __init__(self) -> None:
+        self.rems: list[int] = []   # sorted remaining capacities of open bins
+        self.rbins: list[int] = []  # bin index parallel to rems
+        self.n_bins = 0
+
+    def pack_batch(self, toks, budget: int):
+        """Assign each token count to a bin; returns int64 bin indices.
+
+        BFD via a capacity-sorted list: the tightest bin that still fits is
+        found by bisect (O(n log n) total, vs the O(n * bins) first-fit scan
+        that degrades on big batches); BFD carries the same guarantees as
+        FFD. Items >= budget become singleton packs whose (zero/negative)
+        remaining capacity is never exposed via rems.
+        """
+        import bisect
+
+        import numpy as np
+
+        order = np.argsort(-toks, kind="stable")  # decreasing sizes
+        assign = np.empty(len(toks), dtype=np.int64)
+        for i in order:
+            t = int(toks[i])
+            if t >= budget:
+                assign[i] = self.n_bins
+                self.n_bins += 1
+                continue
+            j = bisect.bisect_left(self.rems, t)
+            if j < len(self.rems):
+                rem = self.rems.pop(j)
+                b = self.rbins.pop(j)
+                new_rem = rem - t
+            else:
+                b = self.n_bins
+                self.n_bins += 1
+                new_rem = budget - t
+            k = bisect.bisect_left(self.rems, new_rem)
+            self.rems.insert(k, new_rem)
+            self.rbins.insert(k, b)
+            assign[i] = b
+        return assign
+
+
 def _det_hash(id_col: str, seed: int):
     """THE determinism/oracle contract: md5(id || '|' || seed). Every
     operator in this module must rank/route by this exact expression."""
@@ -80,47 +130,12 @@ def pack_sequences(
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import bisect
-
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        # bin state carries ACROSS Arrow batches: a partition larger than
-        # maxRecordsPerBatch arrives as several batches, and per-batch state
-        # would reuse bin indices (pack_id collisions merging unrelated bins
-        # past the budget)
-        rems: list[int] = []  # sorted remaining capacities of open bins
-        rbins: list[int] = []  # bin index parallel to rems
-        n_bins = 0
+        state = _BFDState()
         for pdf in batches:
             toks = pdf[token_col].to_numpy()
-            order = np.argsort(-toks, kind="stable")  # decreasing sizes
-            # best-fit-decreasing via a capacity-sorted list: the tightest
-            # bin that still fits is found by bisect (O(n log n) total, vs
-            # the O(n * bins) first-fit scan that degrades on big batches);
-            # BFD carries the same guarantees as FFD
-            assign = np.empty(len(pdf), dtype=np.int64)
-            for i in order:
-                t = int(toks[i])
-                if t >= budget:
-                    # oversized doc: singleton pack, never exposed via rems
-                    # (a zero remaining capacity would otherwise admit
-                    # zero-token docs into an already-over-budget pack)
-                    assign[i] = n_bins
-                    n_bins += 1
-                    continue
-                j = bisect.bisect_left(rems, t)
-                if j < len(rems):
-                    rem = rems.pop(j)
-                    b = rbins.pop(j)
-                    new_rem = rem - t
-                else:
-                    b = n_bins
-                    n_bins += 1
-                    new_rem = budget - t
-                k = bisect.bisect_left(rems, new_rem)
-                rems.insert(k, new_rem)
-                rbins.insert(k, b)
-                assign[i] = b
+            assign = state.pack_batch(toks, budget)
             out = pdf.copy()
             out["pack_id"] = [f"p{pid}-{b}" for b in assign]
             yield out

@@ -104,3 +104,46 @@ def test_kll_population_and_serde(a):
     assert sk.n == len(a)
     rt = KLLSketch.from_bytes(sk.to_bytes())
     assert rt.same_buckets(sk)
+
+
+# ---------------------------------------------------------------- packing
+@settings(max_examples=100, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=3000), min_size=0,
+                  max_size=400),
+    budget=st.integers(min_value=1, max_value=2048),
+    batches=st.integers(min_value=1, max_value=4),
+)
+def test_bfd_packing_invariants(toks, budget, batches):
+    """pack_sequences' BFD core, with state carried across Arrow-batch
+    splits: every item assigned exactly once; no pack containing an
+    under-budget item exceeds the budget; oversized items are singletons;
+    the half-empty-bin space bound holds (single partition: n_parts=1)."""
+    from puddsketch_spark.ops.sampling import _BFDState
+
+    toks = np.array(toks, dtype=np.int64)
+    state = _BFDState()
+    assign = np.concatenate(
+        [state.pack_batch(chunk, budget)
+         for chunk in np.array_split(toks, batches)]
+    ) if toks.size else np.empty(0, dtype=np.int64)
+
+    assert assign.size == toks.size
+    sums: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    maxes: dict[int, int] = {}
+    for b, t in zip(assign, toks):
+        sums[b] = sums.get(b, 0) + int(t)
+        counts[b] = counts.get(b, 0) + 1
+        maxes[b] = max(maxes.get(b, 0), int(t))
+    # feasibility: packs whose members are all < budget never exceed it
+    small_packs = [b for b, mx in maxes.items() if mx < budget]
+    assert all(sums[b] <= budget for b in small_packs)
+    # oversized items are singletons
+    assert all(counts[b] == 1 for b, mx in maxes.items() if mx >= budget)
+    # space bound (the pack_sequences_report oracle boolean, n_parts=1):
+    # at most one small pack can end <= half-full under BFD
+    small_tok = sum(sums[b] for b in small_packs)
+    assert len(small_packs) <= (2 * small_tok) // budget + 1
+    # all bins indices are dense-ish and unique per opening
+    assert state.n_bins == len(sums) or toks.size == 0
