@@ -76,6 +76,21 @@ class BloomFilter:
         self.n_added += pos.shape[1]
         return self
 
+    def update_weighted(self, values, counts) -> "BloomFilter":
+        """Membership is duplicate-insensitive (bit OR), so pre-aggregated
+        (value, count) input sets the same bits as the row path — same
+        justification as HLL. n_added is corrected to the weighted total so
+        it matches the row path exactly (NaN rows drop their counts too)."""
+        arr = np.asarray(values) if not hasattr(values, "to_numpy") else values.to_numpy()
+        c = np.asarray(counts, dtype=np.int64)
+        if getattr(arr, "dtype", None) is not None and arr.dtype.kind == "f":
+            ok = ~np.isnan(arr)
+            arr, c = arr[ok], c[ok]
+        before = self.n_added
+        self.update(arr)
+        self.n_added = before + int(c.sum())
+        return self
+
     def contains(self, values) -> np.ndarray:
         pos = self._positions(values)
         words, offs = pos // 64, pos % 64

@@ -15,8 +15,10 @@ the standard exact-stratified pattern; rows never route through the driver.
 
 from __future__ import annotations
 
+import bisect
 from typing import Iterator, Mapping, Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["pack_sequences", "stratified_sample", "weighted_mix"]
@@ -44,10 +46,6 @@ class _BFDState:
         FFD. Items >= budget become singleton packs whose (zero/negative)
         remaining capacity is never exposed via rems.
         """
-        import bisect
-
-        import numpy as np
-
         order = np.argsort(-toks, kind="stable")  # decreasing sizes
         assign = np.empty(len(toks), dtype=np.int64)
         for i in order:
@@ -119,7 +117,6 @@ def pack_sequences(
     wastes <= ~22% in the worst case and ~2-5% on real length mixes; tighter
     global packing would serialize the job for a few percent of padding.
     """
-    import numpy as np
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql.types import StringType, StructField, StructType

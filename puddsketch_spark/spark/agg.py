@@ -79,19 +79,25 @@ def _partial_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
 
 def _kernel_update_weighted(sk, vals: np.ndarray, w: np.ndarray):
     """Weighted-update dispatch: kernels expose either update_weighted
-    (UDD, t-digest, HLL) or update(values, counts) (CMS, Misra-Gries).
-    Rank-based kernels (KLL, REQ) have no exact weighted form — their
-    compaction samples ITEMS, so they reject the pre-aggregate path."""
+    (UDD, t-digest, HLL, Bloom) or update(values, counts) (CMS,
+    Misra-Gries). Rank-based kernels (KLL, REQ) have no exact weighted
+    form — their compaction samples ITEMS, so they reject the
+    pre-aggregate path. The capability check is by SIGNATURE, not by
+    catching TypeError from the call — a genuine TypeError inside a
+    weight-capable kernel must surface as itself, not as a false
+    'unsupported' diagnosis."""
+    import inspect
+
     uw = getattr(sk, "update_weighted", None)
     if uw is not None:
         return uw(vals, w)
-    try:
+    params = list(inspect.signature(sk.update).parameters)
+    if len(params) >= 2:  # update(values, counts)
         return sk.update(vals, w)
-    except TypeError:
-        raise TypeError(
-            f"{type(sk).__name__} does not support weighted update; "
-            "use pre_aggregate=False for this kernel"
-        ) from None
+    raise TypeError(
+        f"{type(sk).__name__} does not support weighted update; "
+        "use pre_aggregate=False for this kernel"
+    )
 
 
 def partial_sketches(
@@ -293,8 +299,12 @@ def sketch_grouped(
     categorical values): at 10^12 turns with ~10^3 distinct lengths per
     group, the Python stage sees ~10^3 rows per group instead of 10^9.
     Wrong call for near-unique columns (the extra shuffle buys nothing).
-    Exact for UDD/t-digest/CMS/Misra-Gries (weighted update) and HLL
-    (duplicate-insensitive); rank-compaction kernels (KLL, REQ) reject it.
+    State-identical to the row path for UDD (same bucket increments),
+    HLL/Bloom (duplicate-insensitive), and CMS (additive counters);
+    bound-preserving but NOT state-identical for t-digest and Misra-Gries
+    (their compression/shrink sees different intermediate states, so
+    centroids/counters can differ while the published error bounds still
+    hold); rank-compaction kernels (KLL, REQ) reject it loudly.
     """
     fb = from_bytes or _default_from_bytes(factory)
     if pre_aggregate:
@@ -528,11 +538,22 @@ def udds_quantiles_multi(
     Output: DataFrame[feature, group..., q, est, n].
     """
     group_cols = list(group_cols)
-    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in value_cols)
+    # pure Column expressions (no SQL-string interpolation — a column name
+    # containing a quote/backtick must not break or reshape the plan);
+    # explode(array(struct...)) compiles to the same Generate node as stack
     stacked = df.select(
         *group_cols,
-        F.expr(f"stack({len(value_cols)}, {pairs}) as (feature, _value)"),
-    )
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.col(c).cast("double").alias("_value"),
+                )
+                for c in value_cols
+            ])
+        ).alias("_fv"),
+    ).select(*group_cols, F.col("_fv.feature").alias("feature"),
+             F.col("_fv._value").alias("_value"))
     gcols = ["feature", *group_cols]
     merged = sketch_grouped_jvm(stacked, "_value", gcols, alpha, m)
     return quantile_table(merged, gcols, list(qs), UDDSketch.from_bytes,

@@ -53,8 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--pre-aggregate", action="store_true",
                    help="Arrow engine: Tungsten groupBy(value).count() first, "
                         "weighted kernel fill after — exchange carries distinct "
-                        "values, not rows (duplicate-heavy columns; "
-                        "udds/tdigest only)")
+                        "values, not rows (duplicate-heavy columns). "
+                        "State-identical for udds; bound-preserving for "
+                        "tdigest; rejected for kll/dd and with --checkpoint")
     p.add_argument("--length-dist", choices=["uniform", "lognormal", "beta"],
                    default="uniform",
                    help="--generate: text length distribution (reference set)")
@@ -82,6 +83,11 @@ def main(argv=None) -> int:
     if args.pre_aggregate and args.sketch in ("kll", "dd"):
         raise SystemExit(f"--pre-aggregate is not exact for --sketch {args.sketch} "
                          "(rank compaction / pair stores sample items)")
+    if args.pre_aggregate and args.checkpoint:
+        # checkpoint lineage fingerprints input FILES; partials derived from
+        # a shuffled counts table have no stable file lineage to resume from
+        raise SystemExit("--pre-aggregate cannot be combined with --checkpoint "
+                         "(resumable state is keyed by input-file lineage)")
     spark = get_spark(app_name="sketch_job", master=args.master)
     t0 = time.time()
     if args.generate:

@@ -175,3 +175,18 @@ def test_kll_serde_roundtrip():
 def test_kll_k_mismatch_raises():
     with pytest.raises(ValueError, match="k mismatch"):
         KLLSketch(k=100).merge(KLLSketch(k=200))
+
+
+def test_bloom_weighted_matches_row_path():
+    """update_weighted (the pre_aggregate fill path) sets the same bits AND
+    the same n_added as row-at-a-time update, NaN counts dropped too."""
+    import numpy as np
+
+    from puddsketch_spark.core import BloomFilter
+
+    b1 = BloomFilter(num_bits=1024, num_hashes=3)
+    b2 = BloomFilter(num_bits=1024, num_hashes=3)
+    b1.update(np.array([1.0, 2.0, 2.0, 3.0, np.nan]))
+    b2.update_weighted(np.array([1.0, 2.0, 3.0, np.nan]), np.array([1, 2, 1, 5]))
+    assert np.array_equal(b1.bits, b2.bits)
+    assert b1.n_added == b2.n_added == 4
