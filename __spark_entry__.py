@@ -135,6 +135,48 @@ FROM kq
 """
 
 
+def _udds_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup pattern: per-DAY sketch states built once, then
+    merged to the global sketch WITHOUT rescanning events (rollup_states).
+    m=0 makes the rollup bit-identical to a full recompute, so the oracle
+    is the plain global bucket walk over all events — if the daily-merge
+    path dropped or double-counted anything, the hash would differ."""
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import rollup_states, sketch_grouped_jvm
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").alias("v")
+    )
+    daily = sketch_grouped_jvm(ev, "v", ["day"], _A, 0)
+    n_days = daily.count()
+    sk = rollup_states(daily, (), UDDSketch.from_bytes)
+    rows = [
+        (float(q), float(sk.quantile(q)), int(sk.count), int(n_days))
+        for q in _QS
+    ]
+    return spark.createDataFrame(rows, "q double, est double, n long, n_days long")
+
+
+_UDDS_ROLLUP_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(ceil(ln(value)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM events WHERE value >= 2.2250738585072014e-308
+),
+b AS (SELECT k, COUNT(*) AS c FROM keyed GROUP BY k),
+cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cumc FROM b),
+nn AS (SELECT COUNT(*) AS n FROM keyed),
+nd AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM events),
+qs AS (SELECT * FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q))
+SELECT qs.q AS q,
+       power({_G_SQL},
+             (SELECT MIN(k) FROM cum, nn
+              WHERE cum.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT)))
+         * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       nn.n AS n, nd.n_days AS n_days
+FROM qs CROSS JOIN nn CROSS JOIN nd
+"""
+
+
 # --------------------------------------------------------------------------
 # relational operators
 # --------------------------------------------------------------------------
@@ -1467,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udds_quantile_global": _udds_global,
         "udds_quantile_by_flag": _udds_by_flag,
         "udds_multi_feature": _udds_multi_feature,
+        "udds_rollup_daily": _udds_rollup_daily,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue_orders": _q3_top_revenue_orders,
         "events_type_stats": _events_type_stats,
@@ -1511,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_quantile_global": _udds_oracle(None),
         "udds_quantile_by_flag": _udds_oracle("l_returnflag"),
         "udds_multi_feature": _UDDS_MULTI_SQL,
+        "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_revenue_orders": _Q3_SQL,
         "events_type_stats": _EVENTS_SQL,

@@ -282,6 +282,42 @@ def merge_grouped(
     return partials.groupBy(*group_cols).applyInPandas(merge_fn, schema=schema)
 
 
+def rollup_states(
+    states: DataFrame,
+    group_cols: Sequence[str],
+    from_bytes: Callable[[bytes], object],
+    depth: int = 2,
+):
+    """Re-aggregate an EXISTING sketch-state table to a coarser grouping —
+    the incremental-rollup pattern: materialize per-(day, group) states
+    once (plain parquet; ``state`` is a binary column), then ANY coarser
+    query — a date range, a group rollup, the global figure — is a merge
+    over a few KB of states, never a rescan of the raw table. At 10^12
+    turns that turns repeat quantile queries from full-scan cost into
+    metadata cost. Valid because kernel merge is commutative/associative
+    (property-tested); with no collapses the rollup is bit-identical to a
+    full recompute (oracle-checked by the udds_rollup_daily driver query).
+
+    group_cols non-empty -> DataFrame[group..., state, n, ...];
+    group_cols empty -> the merged kernel object (treeReduce, like
+    sketch_global).
+    """
+    group_cols = list(group_cols)
+    if group_cols:
+        return merge_grouped(states, group_cols, from_bytes)
+    blobs = states.select("state").rdd.map(lambda r: bytes(r[0])).persist()
+    try:
+        if blobs.isEmpty():
+            raise ValueError("rollup_states: empty state table")
+
+        def merge_bytes(a: bytes, b: bytes) -> bytes:
+            return from_bytes(a).merge(from_bytes(b)).to_bytes()
+
+        return from_bytes(blobs.treeReduce(merge_bytes, depth=depth))
+    finally:
+        blobs.unpersist()
+
+
 def sketch_grouped(
     df: DataFrame,
     value_col: str,

@@ -149,6 +149,45 @@ def test_pre_aggregate_rejects_rank_kernels(spark, tdf):
                        pre_aggregate=True).collect()
 
 
+def test_rollup_states_parquet_roundtrip(spark, tdf):
+    """The incremental-rollup contract: per-group sketch states written to
+    parquet, reloaded in a FRESH reader, and rolled up (coarser grouping
+    AND global) are bit-identical to sketching the raw table directly —
+    no-collapse config, so every path lands on the same buckets."""
+    import tempfile
+
+    from puddsketch_spark.spark.agg import rollup_states, sketch_grouped_jvm
+
+    fine = sketch_grouped_jvm(tdf, "text_len", ["role", "tool"], 0.01, 0)
+    with tempfile.TemporaryDirectory() as td:
+        fine.write.mode("overwrite").parquet(td)
+        stored = spark.read.parquet(td)
+
+        # rollup to coarser grouping (drop tool)
+        by_role = {
+            r.role: UDDSketch.from_bytes(bytes(r.state))
+            for r in rollup_states(stored, ["role"], UDDSketch.from_bytes).collect()
+        }
+        direct = {
+            r.role: UDDSketch.from_bytes(bytes(r.state))
+            for r in sketch_grouped_jvm(tdf, "text_len", ["role"], 0.01, 0).collect()
+        }
+        assert set(by_role) == set(direct)
+        for role, sk in direct.items():
+            assert sk.same_buckets(by_role[role]), role
+            assert sk.count == by_role[role].count
+
+        # rollup to global
+        g = rollup_states(stored, (), UDDSketch.from_bytes)
+        from puddsketch_spark.spark.agg import sketch_global
+
+        g_direct = sketch_global(
+            tdf, "text_len", lambda: UDDSketch(initial_alpha=0.01, m=0),
+            UDDSketch.from_bytes,
+        )
+        assert g.same_buckets(g_direct) and g.count == g_direct.count
+
+
 def test_global_treereduce_matches_kernel(spark, tdf):
     sk = sketch_global(tdf, "text_len", _factory)
     vals = np.array([r[0] for r in tdf.select("text_len").collect()])
