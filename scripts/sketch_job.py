@@ -60,6 +60,15 @@ def parse_args(argv=None):
                    default="uniform",
                    help="--generate: text length distribution (reference set)")
     p.add_argument("--checkpoint", help="dir for resumable per-partition state (arrow engine)")
+    p.add_argument("--save-states",
+                   help="also write the merged per-group sketch STATE table "
+                        "(parquet, binary state column) — the incremental-"
+                        "rollup input: later runs merge states instead of "
+                        "rescanning (udds/kll/tdigest)")
+    src.add_argument("--from-states",
+                     help="skip the scan entirely: load a --save-states "
+                          "table and roll it up to --group-by (must be a "
+                          "subset of the stored grouping)")
     p.add_argument("--output", help="parquet dir for the quantile table (default: stdout)")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -90,6 +99,29 @@ def main(argv=None) -> int:
                          "(resumable state is keyed by input-file lineage)")
     spark = get_spark(app_name="sketch_job", master=args.master)
     t0 = time.time()
+
+    if args.from_states:
+        # incremental rollup: no scan of raw data at all — load a saved
+        # state table and merge to the requested (coarser) grouping
+        from puddsketch_spark.core import DDSketchPair
+        from puddsketch_spark.spark.agg import rollup_states
+
+        fb = {"udds": UDDSketch, "kll": KLLSketch, "tdigest": TDigest,
+              "dd": DDSketchPair}[args.sketch].from_bytes
+        states = spark.read.parquet(args.from_states)
+        group = list(args.group_by)
+        if group:
+            out = quantile_table(rollup_states(states, group, fb),
+                                 group, args.quantiles, fb, extra_cols=["n"])
+        else:
+            sk = rollup_states(states, (), fb)
+            out = spark.createDataFrame(
+                [(float(q), float(sk.quantile(q)), int(sk.count))
+                 for q in args.quantiles],
+                "q double, est double, n long",
+            )
+        return _emit(args, spark, out, t0)
+
     if args.generate:
         df = transcripts(spark, n_conv=max(1, args.generate // 8), seed=args.seed,
                          length_dist=args.length_dist)
@@ -105,6 +137,7 @@ def main(argv=None) -> int:
                                 args.salt_buckets)
 
     group = list(args.group_by)
+    merged = None  # grouped state table, when the chosen path produces one
     if args.sketch == "udds" and args.compat:
         # compat keys come from the reference fast-log — a Python kernel
         # computation, so the fill must run on the Arrow engine
@@ -157,6 +190,22 @@ def main(argv=None) -> int:
                                     pre_aggregate=args.pre_aggregate)
         out = quantile_table(merged, group, args.quantiles, from_bytes)
 
+    if args.save_states:
+        if merged is None:
+            raise SystemExit("--save-states needs a grouped udds/kll/tdigest "
+                             "run (this path produces no state table)")
+        # persist so the state write and the quantile finalize share one fill
+        merged = merged.persist()
+        merged.write.mode("overwrite").parquet(args.save_states)
+    try:
+        return _emit(args, spark, out, t0)
+    finally:
+        if args.save_states and merged is not None:
+            merged.unpersist()
+
+
+def _emit(args, spark, out, t0) -> int:
+    n = None
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
