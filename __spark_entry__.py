@@ -147,9 +147,14 @@ def _udds_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), F.col("value").alias("v")
     )
-    daily = sketch_grouped_jvm(ev, "v", ["day"], _A, 0)
-    n_days = daily.count()
-    sk = rollup_states(daily, (), UDDSketch.from_bytes)
+    # persist the (tiny) state table: counting days and rolling up are two
+    # actions, and without the cache each would re-run the full fill scan
+    daily = sketch_grouped_jvm(ev, "v", ["day"], _A, 0).persist()
+    try:
+        n_days = daily.count()
+        sk = rollup_states(daily, (), UDDSketch.from_bytes)
+    finally:
+        daily.unpersist()
     rows = [
         (float(q), float(sk.quantile(q)), int(sk.count), int(n_days))
         for q in _QS
