@@ -824,6 +824,66 @@ FROM qs CROSS JOIN nn
 """
 
 
+def _ddog_grouped_window_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED DDOG trash-bin collapse through the distributed keyed merge
+    (arbitrary merge order): a small bound forces pair collapses per group,
+    then a second EXACT pass verifies the reference contract — every
+    estimate at a quantile INSIDE the reported accurate window [q0, q1] is
+    within alpha_now relative error of the exact order statistic
+    (ParallelSketcher.cc:920-1028 bookkeeping). Quantiles outside the
+    window carry no guarantee and pass trivially. The window itself is
+    merge-order-dependent, so the oracle checks the guaranteed FACTS
+    (exact n, bound holds) rather than the window bounds."""
+    from pyspark.sql import Window
+
+    from puddsketch_spark.spark.sketches import dd_quantiles
+
+    qs = (0.25, 0.5, 0.75, 0.9)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("v")
+    ).where(F.col("v") > 0)
+    rep = {
+        (r.event_type, r.q): r
+        for r in dd_quantiles(ev, "v", ["event_type"], qs=qs, alpha=_A,
+                              bound=32, collapse_mode="ddog_low").collect()
+    }
+    # exact order statistics at rank floor(q*(n-1)) per group (verification
+    # pass — the expensive exact scan is the point of the check)
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = ev.withColumn("_rn", F.row_number().over(w) - 1)
+    counts = {r.event_type: r.n
+              for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {(g, q): int(q * (n - 1)) for g, n in counts.items() for q in qs}
+    # fetch only the ~20 needed ranks
+    cond = None
+    for (g, q), rk in want.items():
+        c = (F.col("event_type") == g) & (F.col("_rn") == rk)
+        cond = c if cond is None else (cond | c)
+    picked = ranked.where(cond).select("event_type", "_rn", "v").collect()
+    by_rank = {(r.event_type, r._rn): r.v for r in picked}
+    rows = []
+    for g, n in sorted(counts.items()):
+        for q in qs:
+            r = rep[(g, float(q))]
+            x = by_rank[(g, want[(g, q)])]
+            inside = r.q0 <= q <= r.q1
+            ok = (not inside) or abs(r.est - x) <= r.alpha_now * abs(x) + 1e-12
+            rows.append((g, float(q), int(n), bool(ok)))
+    return spark.createDataFrame(
+        rows, "event_type string, q double, n long, bound_ok boolean"
+    )
+
+
+_DDOG_GROUPED_SQL = """
+SELECT e.event_type AS event_type, t.q AS q,
+       CAST(COUNT(*) AS BIGINT) AS n, TRUE AS bound_ok
+FROM events e
+CROSS JOIN (VALUES (0.25e0),(0.5e0),(0.75e0),(0.9e0)) AS t(q)
+WHERE e.value > 0
+GROUP BY e.event_type, t.q
+"""
+
+
 _DDOG_BOUND = 128
 
 
@@ -1537,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_price_rank_lra": _req_price_rank_lra,
         "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
         "dd_quantiles_by_type": _dd_quantiles_by_type,
+        "ddog_grouped_window_check": _ddog_grouped_window_check,
         "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
@@ -1582,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "req_price_rank_lra": _RANK_LRA_SQL,
         "ddsketch_signed_quantiles": _DD_SQL,
         "dd_quantiles_by_type": _DD_GROUPED_SQL,
+        "ddog_grouped_window_check": _DDOG_GROUPED_SQL,
         "ddsketch_ddog_quantiles": _DDOG_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
