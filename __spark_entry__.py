@@ -1492,6 +1492,59 @@ SELECT source, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM r WHERE rn <= quota GROUP BY source
 """
 
+def _winnowing_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (ops.text.winnowing_fingerprints) as a dup
+    detector over a doubled corpus. The rolling hash isn't SQL-expressible,
+    so the oracle checks the guaranteed FACTS: fingerprinting is a pure
+    function of text, so distinct fingerprint SETS <= distinct texts, every
+    doc gets >= 1 fingerprint (non-empty text), and every planted copy pair
+    collides on its full fingerprint set (recall 1.0)."""
+    from puddsketch_spark.ops.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.union(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    fp = winnowing_fingerprints(doubled, k=8, window=4)
+    # canonical per-doc fingerprint-set digest: md5 of the sorted fp list
+    sets = fp.groupBy("doc_id").agg(
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("fp")))).alias("fph"),
+        F.count(F.lit(1)).alias("nfp"),
+    )
+    total_docs = doubled.count()
+    agg = sets.agg(
+        F.count(F.lit(1)).alias("docs_with_fps"),
+        F.countDistinct("fph").alias("distinct_fp_sets"),
+        F.min("nfp").alias("min_fps_per_doc"),
+    ).first()
+    n_texts = doubled.select("text").distinct().count()
+    # planted recall: doc i and i+1M have identical text => identical digest
+    a = sets.where(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("i"), F.col("fph").alias("ha"))
+    b = sets.where(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("i"), F.col("fph").alias("hb"))
+    matched = a.join(b, "i").where(F.col("ha") == F.col("hb")).count()
+    rows = [(
+        int(total_docs), int(agg.docs_with_fps),
+        bool(agg.distinct_fp_sets <= n_texts),
+        bool(agg.min_fps_per_doc >= 1),
+        bool(matched == total_docs // 2),
+    )]
+    return spark.createDataFrame(
+        rows, "total_docs long, docs_with_fps long, sets_le_texts boolean, "
+              "all_docs_fingerprinted boolean, planted_recall_full boolean"
+    )
+
+
+_WINNOW_SQL = """
+SELECT CAST(2 * COUNT(*) AS BIGINT) AS total_docs,
+       CAST(2 * COUNT(*) AS BIGINT) AS docs_with_fps,
+       TRUE AS sets_le_texts,
+       TRUE AS all_docs_fingerprinted,
+       TRUE AS planted_recall_full
+FROM documents
+"""
+
 _PACK_BUDGET = 64
 
 
@@ -1612,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _stratified_sample_docs,
         "dataset_mix_report": _dataset_mix_report,
         "pack_sequences_report": _pack_sequences_report,
+        "winnowing_dup_detection": _winnowing_dup_detection,
     }
 
 
@@ -1658,4 +1712,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _STRAT_SQL,
         "dataset_mix_report": _MIX_SQL,
         "pack_sequences_report": _PACK_SQL,
+        "winnowing_dup_detection": _WINNOW_SQL,
     }
