@@ -235,3 +235,50 @@ def test_streaming_dedup_first_occurrence_and_restart(spark, tmp_path, mode):
     # across the restart (doc 8 duplicates content first seen in batch 1)
     assert got == {1: "alpha doc", 2: "beta doc", 4: "gamma doc",
                    6: "delta doc", 9: "epsilon doc"}
+
+
+def test_streaming_states_feed_batch_rollup(spark, tmp_path):
+    """Streaming and batch share ONE state format: a streaming_sketch
+    finalize that emits the raw kernel blob produces a state table that
+    batch rollup_states merges to the global sketch — bucket-identical to
+    sketching all the streamed rows in batch (m=0, no collapse). This is
+    the lambda-architecture contract: stream per-group states continuously,
+    roll them up offline for any coarser figure."""
+    from puddsketch_spark.spark.agg import rollup_states
+    from puddsketch_spark.streaming.sketch_stream import streaming_sketch
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(5)
+    rows = [("user" if i % 2 else "assistant", float(v))
+            for i, v in enumerate(rng.uniform(1, 1000, 6000))]
+    spark.createDataFrame(rows, "role string, text_len double").coalesce(2).write.mode(
+        "overwrite").parquet(src)
+
+    stream = spark.readStream.schema("role string, text_len double").parquet(src)
+    out = streaming_sketch(
+        stream, "text_len", ["role"],
+        factory=lambda: UDDSketch(initial_alpha=0.01, m=0),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: (sk.to_bytes(), sk.count),
+        finalize_schema=StructType([
+            StructField("state", BinaryType(), False),
+            StructField("n", LongType(), False),
+        ]),
+    )
+    q = (out.writeStream.format("memory").queryName("state_out")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # latest state per group (update mode re-emits per trigger)
+        states = (spark.sql("select * from state_out")
+                  .orderBy(F.desc("n")).dropDuplicates(["role"]))
+        g = rollup_states(states, (), UDDSketch.from_bytes)
+    finally:
+        q.stop()
+
+    batch = UDDSketch(initial_alpha=0.01, m=0).update(
+        np.array([v for _, v in rows]))
+    assert g.same_buckets(batch)
+    assert g.count == len(rows)
