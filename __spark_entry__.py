@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return _udds_by_flag(spark, SF001)
 
 
-def _udds_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _udds_global_sketch(spark: SparkSession, sf_dir: str):
     """JVM fill path (Tungsten hash-agg histogram); bit-identical to the
     Arrow engine — see tests/test_spark_agg.py::test_jvm_engine_bit_parity."""
     import numpy as np
@@ -48,12 +48,31 @@ def _udds_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = udds_bucket_counts(li, "l_extendedprice", (), _A).collect()
     zero = sum(r["_bcnt"] for r in buckets if r["_bkey"] is None)
     live = sorted((r["_bkey"], r["_bcnt"]) for r in buckets if r["_bkey"] is not None)
-    sk = UDDSketch(
+    return UDDSketch(
         initial_alpha=_A, m=0, zero_count=int(zero),
         keys=np.array([k for k, _ in live], dtype=np.int64),
         counts=np.array([c for _, c in live], dtype=np.int64),
     )
+
+
+def _udds_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _udds_global_sketch(spark, sf_dir)
     rows = [(float(q), float(sk.quantile(q)), int(sk.count)) for q in _QS]
+    return spark.createDataFrame(rows, "q double, est double, n long")
+
+
+def _udds_quantile_protocol99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's published query protocol: 99 evenly spaced quantiles
+    q = i/100 for i in 1..99 from ONE global UDD sketch, exactly as pudds
+    emits them per run (/root/reference/psketches/pudds.cpp:142-145).
+    m=0 keeps the bucket walk bit-exact against the SQL oracle at every one
+    of the 99 rank points (the 4-point queries only sample the scan; this
+    exercises the full cumulative walk at the reference's density)."""
+    sk = _udds_global_sketch(spark, sf_dir)
+    rows = [
+        (float(i / 100.0), float(sk.quantile(i / 100.0)), int(sk.count))
+        for i in range(1, 100)
+    ]
     return spark.createDataFrame(rows, "q double, est double, n long")
 
 
@@ -69,7 +88,18 @@ def _udds_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _udds_oracle(group_col: str | None) -> str:
+_QS_SQL = "SELECT * FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q)"
+# The reference's published protocol: 99 evenly spaced quantiles i/100,
+# i=1..99 (/root/reference/psketches/pudds.cpp:142-145). CAST(i AS DOUBLE)
+# / 100.0 is the same IEEE-754 division Python performs, so q matches
+# bit-for-bit and the rank floor(q*(n-1)) is identical on both sides.
+_QS99_SQL = (
+    "SELECT CAST(i AS DOUBLE) / 100.0e0 AS q "
+    "FROM generate_series(1, 99) AS t(i)"
+)
+
+
+def _udds_oracle(group_col: str | None, qs_sql: str = _QS_SQL) -> str:
     gexpr = f"{group_col}, " if group_col else ""
     gpart = f"PARTITION BY {group_col} " if group_col else ""
     gjoin = f"AND cum.{group_col} = nn.{group_col}" if group_col else ""
@@ -82,7 +112,7 @@ WITH keyed AS (
 b AS (SELECT {gexpr}k, COUNT(*) AS c FROM keyed GROUP BY {gexpr}k),
 cum AS (SELECT {gexpr}k, SUM(c) OVER ({gpart}ORDER BY k) AS cumc FROM b),
 nn AS (SELECT {gexpr}COUNT(*) AS n FROM keyed {('GROUP BY ' + group_col) if group_col else ''}),
-qs AS (SELECT * FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q)),
+qs AS ({qs_sql}),
 kq AS (
   SELECT {('nn.' + group_col + ',') if group_col else ''} qs.q, nn.n,
          (SELECT MIN(k) FROM cum WHERE cum.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT) {gjoin}) AS kq
@@ -1626,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "udds_quantile_global": _udds_global,
         "udds_quantile_by_flag": _udds_by_flag,
+        "udds_quantile_protocol99": _udds_quantile_protocol99,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1673,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "udds_quantile_global": _udds_oracle(None),
         "udds_quantile_by_flag": _udds_oracle("l_returnflag"),
+        "udds_quantile_protocol99": _udds_oracle(None, qs_sql=_QS99_SQL),
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "q1_pricing_summary": _Q1_SQL,

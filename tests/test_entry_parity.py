@@ -85,6 +85,24 @@ def test_parity(spark, ddb, name):
         )
 
 
+def test_documented_query_count():
+    """README's headline query count must equal the registry (VERDICT r3
+    found prose drift: docs said 43 while the registry held 42). Every
+    query must also carry an oracle — facts oracles included — so the
+    two registries can't diverge silently either."""
+    import pathlib
+    import re
+
+    n = len(entry.queries())
+    assert len(entry.oracle_sql()) == n, "queries() and oracle_sql() differ"
+    readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    m = re.search(r"(\d+) driver-checkable queries", readme.read_text())
+    assert m, "README no longer states the driver-query count"
+    assert int(m.group(1)) == n, (
+        f"README claims {m.group(1)} driver queries but queries() has {n}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() >= 0
