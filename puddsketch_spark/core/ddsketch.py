@@ -26,6 +26,35 @@ from .uddsketch import MIN_ADDRESSABLE, _ceil_div
 __all__ = ["DDSketchPair"]
 
 _EMPTY = np.empty(0, dtype=np.int64)
+
+_LIBM_LOG10 = None
+
+
+def _libm_log10(values: np.ndarray) -> np.ndarray:
+    """glibc ``log10`` element-by-element, for ``compat=True`` fills only.
+
+    The reference computes bucket keys as ``ceil(log10(x)/base)`` with
+    ``base = std::log10(gamma)`` (ParallelSketcher.cc:548,601,233).
+    ``np.log10`` differs from glibc's ``log10`` by 1 ulp on ~7% of inputs
+    (numpy's SIMD polynomial vs libm), which can flip ``ceil`` at a bucket
+    boundary — so golden parity calls the same libm symbol the compiled
+    reference binary links. Scalar loop: compat is a test-scale path.
+    """
+    global _LIBM_LOG10
+    if _LIBM_LOG10 is None:
+        import ctypes
+
+        try:
+            lib = ctypes.CDLL("libm.so.6")
+            lib.log10.restype = ctypes.c_double
+            lib.log10.argtypes = [ctypes.c_double]
+            _LIBM_LOG10 = lib.log10
+        except OSError:  # non-glibc platform: best-effort fallback
+            _LIBM_LOG10 = np.log10
+    f = _LIBM_LOG10
+    if f is np.log10:
+        return np.log10(values)
+    return np.array([f(float(v)) for v in values], dtype=np.float64)
 # magic+version, then: init_alpha, alpha, m, collapses, zero, n_pos, n_neg,
 # mode, pair_collapses, fence_neg, fence_pos (fence sentinel: _NOFENCE =
 # None), min_value, max_value. The magic word turns a layout change (like
@@ -91,6 +120,12 @@ class DDSketchPair:
     fence_pos: int | None = None
     min_value: float = float("nan")
     max_value: float = float("nan")
+    # compat=True: bucket keys via glibc log10 exactly as the reference
+    # binary computes them — ceil(log10(|x|) / log10(gamma)) — for
+    # bucket-for-bucket golden equality with the COMPILED reference kernels
+    # (scripts/gen_golden_ddog.py). Fill-time only; merge/quantile/serde
+    # are log-free and from_bytes yields compat=False.
+    compat: bool = False
 
     @property
     def gamma0(self) -> float:
@@ -129,17 +164,23 @@ class DDSketchPair:
         near_zero = np.abs(v) < MIN_ADDRESSABLE
         self.zero_count += int(near_zero.sum())
         v = v[~near_zero]
-        lg = self.log_gamma
+        if self.compat:
+            # reference key fn: ceil(log10(x) / log10(gamma)), same libm
+            base = _libm_log10(np.array([self.gamma]))[0]
+            _keys = lambda x: np.ceil(_libm_log10(x) / base).astype(np.int64)
+        else:
+            lg = self.log_gamma
+            _keys = lambda x: np.ceil(np.log(x) / lg).astype(np.int64)
         pos = v[v > 0]
         neg = -v[v < 0]
         if pos.size:
-            k = np.ceil(np.log(pos) / lg).astype(np.int64)
+            k = _keys(pos)
             u, c = np.unique(k, return_counts=True)
             self.pos_keys, self.pos_counts = _absorb(
                 self.pos_keys, self.pos_counts, u, c.astype(np.int64)
             )
         if neg.size:
-            k = np.ceil(np.log(neg) / lg).astype(np.int64)
+            k = _keys(neg)
             u, c = np.unique(k, return_counts=True)
             self.neg_keys, self.neg_counts = _absorb(
                 self.neg_keys, self.neg_counts, u, c.astype(np.int64)
