@@ -517,24 +517,52 @@ FROM events GROUP BY event_type
 
 
 def _bloom_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
+    """Bloom membership contract, verified DISTRIBUTED: the filter bytes
+    broadcast to executors, which probe every present key (all distinct
+    o_custkey — zero false negatives allowed) and every absent key
+    (customer keys shifted past the key range — false-positive rate) in
+    Arrow batches. Nothing unbounded reaches the driver; only the four
+    aggregate counters come back — the probe shape a 1000-executor run
+    would use."""
     from puddsketch_spark.spark.sketches import bloom_global
 
     orders = _t(spark, sf_dir, "orders")
     bf = bloom_global(orders, "o_custkey", num_bits=1 << 20, num_hashes=7)
-    present = np.array(
-        [r[0] for r in orders.select("o_custkey").distinct().collect()], dtype=np.int64
+    bf_bytes = spark.sparkContext.broadcast(bf.to_bytes())
+
+    def _probe(col: str, shift: int):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            from puddsketch_spark.core import BloomFilter
+
+            b = BloomFilter.from_bytes(bf_bytes.value)
+            for pdf in batches:
+                keys = pdf[col].to_numpy(dtype=np.int64) + shift
+                yield pd.DataFrame(
+                    {"n": [len(keys)], "hits": [int(b.contains(keys).sum())]}
+                )
+
+        return gen
+
+    present = (
+        orders.select("o_custkey").distinct()
+        .mapInPandas(_probe("o_custkey", 0), "n long, hits long")
+        .agg(F.sum("n").alias("n"), F.sum("hits").alias("hits"))
+        .collect()[0]
     )
-    cust = _t(spark, sf_dir, "customer")
-    absent = np.array(
-        [r[0] + 10_000_000 for r in cust.select("c_custkey").collect()], dtype=np.int64
+    absent = (
+        _t(spark, sf_dir, "customer").select("c_custkey")
+        .mapInPandas(_probe("c_custkey", 10_000_000), "n long, hits long")
+        .agg(F.sum("n").alias("n"), F.sum("hits").alias("hits"))
+        .collect()[0]
     )
-    fp = float(bf.contains(absent).mean()) if absent.size else 0.0
+    fp = (absent["hits"] / absent["n"]) if absent["n"] else 0.0
     row = (
-        int(present.size),
-        bool(bf.contains(present).all()),
-        int(absent.size),
+        int(present["n"]),
+        bool(present["hits"] == present["n"]),
+        int(absent["n"]),
         bool(fp <= 0.02),
     )
     return spark.createDataFrame(
