@@ -1582,11 +1582,14 @@ def _winnowing_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sets.where(F.col("doc_id") >= 1_000_000).select(
         (F.col("doc_id") - 1_000_000).alias("i"), F.col("fph").alias("hb"))
     matched = a.join(b, "i").where(F.col("ha") == F.col("hb")).count()
+    # recall denominator = pairs where both sides CAN fingerprint (text
+    # >= k chars); with the current corpus that's every pair, but deriving
+    # it keeps driver and oracle in lockstep if a short doc ever appears
     rows = [(
         int(total_docs), int(agg.docs_with_fps),
         bool(agg.distinct_fp_sets <= n_texts),
         bool(agg.min_fps_per_doc >= 1),
-        bool(matched == total_docs // 2),
+        bool(matched == agg.docs_with_fps // 2),
     )]
     return spark.createDataFrame(
         rows, "total_docs long, docs_with_fps long, sets_le_texts boolean, "
@@ -1596,7 +1599,11 @@ def _winnowing_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_SQL = """
 SELECT CAST(2 * COUNT(*) AS BIGINT) AS total_docs,
-       CAST(2 * COUNT(*) AS BIGINT) AS docs_with_fps,
+       -- a doc fingerprints iff it has >= 1 k-gram, i.e. len(text) >= k=8:
+       -- derived from the same precondition the engine uses, so a future
+       -- corpus with short docs fails loudly on BOTH sides, not just one
+       CAST(2 * COUNT(*) FILTER (WHERE length(text) >= 8) AS BIGINT)
+         AS docs_with_fps,
        TRUE AS sets_le_texts,
        TRUE AS all_docs_fingerprinted,
        TRUE AS planted_recall_full

@@ -347,12 +347,18 @@ def ngram_jaccard_pairs(
     use_words: bool = True,
     max_df: int | None = 10_000,
 ) -> DataFrame:
-    """Exact n-gram-set jaccard for all pairs sharing >=1 gram.
+    """N-gram-set jaccard over a df-capped gram universe, for all pairs
+    sharing >=1 surviving gram.
+
+    By default grams occurring in more than ``max_df`` documents are
+    excluded from the universe (see below), so the computed jaccard is
+    exact WITH RESPECT TO THE CAPPED UNIVERSE, not the raw one; pass
+    ``max_df=None`` for the textbook all-grams definition.
 
     Pure Catalyst: explode grams -> self-join on gram -> count intersections
     -> jaccard = |I| / (|A|+|B|-|I|). SQL-expressible (DuckDB oracle).
     At scale the gram join is the bottleneck; use minhash_dedup_pairs there —
-    this operator is the exact oracle / small-corpus path.
+    this operator is the exact-oracle / small-corpus path.
 
     ``max_df`` bounds the join fan-out: the self-join is quadratic in
     per-gram document frequency, so one stopword gram shared by 10^6 docs

@@ -110,6 +110,25 @@ def main(argv=None) -> int:
               "dd": DDSketchPair}[args.sketch].from_bytes
         states = spark.read.parquet(args.from_states)
         group = list(args.group_by)
+        # fail fast with actionable messages instead of an opaque
+        # AnalysisException / deserialization error downstream
+        meta_cols = {"state", "n", "buckets", "collapses", "num_partials",
+                     "sketch_kernel"}
+        stored_groups = [c for c in states.columns if c not in meta_cols]
+        missing = [c for c in group if c not in stored_groups]
+        if missing:
+            raise SystemExit(
+                f"--group-by {missing} not in the stored state table's "
+                f"grouping columns {stored_groups} ({args.from_states}); "
+                "states can only roll up to a SUBSET of the grouping they "
+                "were saved with")
+        if "sketch_kernel" in states.columns:
+            stored_kernel = states.select("sketch_kernel").first()[0]
+            if stored_kernel != args.sketch:
+                raise SystemExit(
+                    f"state table {args.from_states} was saved with "
+                    f"--sketch {stored_kernel}, not --sketch {args.sketch}; "
+                    "blobs are not interchangeable between kernels")
         if group:
             out = quantile_table(rollup_states(states, group, fb),
                                  group, args.quantiles, fb, extra_cols=["n"])
@@ -120,7 +139,9 @@ def main(argv=None) -> int:
                  for q in args.quantiles],
                 "q double, est double, n long",
             )
-        return _emit(args, spark, out, t0)
+        rc = _emit(args, spark, out, t0)
+        spark.stop()
+        return rc
 
     if args.generate:
         df = transcripts(spark, n_conv=max(1, args.generate // 8), seed=args.seed,
@@ -196,12 +217,21 @@ def main(argv=None) -> int:
                              "run (this path produces no state table)")
         # persist so the state write and the quantile finalize share one fill
         merged = merged.persist()
-        merged.write.mode("overwrite").parquet(args.save_states)
+        # tag the table with its kernel (a constant column RLE-compresses
+        # to nothing) so --from-states can reject a kernel mismatch
+        from pyspark.sql import functions as F
+
+        merged.withColumn("sketch_kernel", F.lit(args.sketch)).write.mode(
+            "overwrite"
+        ).parquet(args.save_states)
     try:
-        return _emit(args, spark, out, t0)
+        rc = _emit(args, spark, out, t0)
     finally:
+        # before spark.stop(): unpersisting against a stopped session NPEs
         if args.save_states and merged is not None:
             merged.unpersist()
+    spark.stop()
+    return rc
 
 
 def _emit(args, spark, out, t0) -> int:
@@ -215,7 +245,6 @@ def _emit(args, spark, out, t0) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
     print(json.dumps({"rows": n, "wall_sec": round(time.time() - t0, 2)}), file=sys.stderr)
-    spark.stop()
     return 0
 
 
