@@ -215,6 +215,107 @@ FROM qs CROSS JOIN nn CROSS JOIN nd
 # --------------------------------------------------------------------------
 # relational operators
 # --------------------------------------------------------------------------
+def _streaming_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture contract as a driver query: a Structured
+    Streaming job (file source over the events table, applyInPandasWithState
+    via streaming_sketch) maintains per-event_type UDD states and finalizes
+    raw kernel blobs; batch rollup_states then merges those states to the
+    global sketch WITHOUT rescanning. With m=0 the rollup is bit-identical
+    to batch-sketching all rows, so the quantile estimates are checked
+    BIT-EXACTLY by the SQL bucket-walk oracle, and stream_batch_identical
+    asserts bucket-for-bucket equality against a fresh batch fill
+    (tests/test_streaming.py proves the same contract in pytest; this
+    entry puts it under the driver's correctness gate)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import rollup_states
+    from puddsketch_spark.streaming.sketch_stream import streaming_sketch
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    # FileStreamSource wants a directory: stream the sf dir, glob-filtered
+    # down to the events table
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    out = streaming_sketch(
+        stream, "value", ["event_type"],
+        factory=lambda: UDDSketch(initial_alpha=_A, m=0),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: (sk.to_bytes(), sk.count),
+        finalize_schema=StructType([
+            StructField("state", BinaryType(), False),
+            StructField("n", LongType(), False),
+        ]),
+    )
+    sink = f"stream_rollup_{uuid.uuid4().hex}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # update mode re-emits per trigger: keep the latest state per key
+        states = (spark.table(sink).orderBy(F.desc("n"))
+                  .dropDuplicates(["event_type"]))
+        n_types = states.count()
+        g = rollup_states(states, (), UDDSketch.from_bytes)
+    finally:
+        q.stop()
+    batch = _events_global_sketch(spark, sf_dir)
+    identical = g.same_buckets(batch) and g.count == batch.count
+    rows = [
+        (float(qq), float(g.quantile(qq)), int(g.count), int(n_types),
+         bool(identical))
+        for qq in _QS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "q double, est double, n long, n_types long, stream_batch_identical boolean",
+    )
+
+
+def _events_global_sketch(spark: SparkSession, sf_dir: str) -> "UDDSketch":
+    """Batch global UDD over events.value via the JVM fill path."""
+    import numpy as np
+
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import udds_bucket_counts
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = udds_bucket_counts(ev, "value", (), _A).collect()
+    zero = sum(r["_bcnt"] for r in buckets if r["_bkey"] is None)
+    live = sorted((r["_bkey"], r["_bcnt"]) for r in buckets if r["_bkey"] is not None)
+    return UDDSketch(
+        initial_alpha=_A, m=0, zero_count=int(zero),
+        keys=np.array([k for k, _ in live], dtype=np.int64),
+        counts=np.array([c for _, c in live], dtype=np.int64),
+    )
+
+
+_STREAM_ROLLUP_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(ceil(ln(value)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM events WHERE value >= 2.2250738585072014e-308
+),
+b AS (SELECT k, COUNT(*) AS c FROM keyed GROUP BY k),
+cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cumc FROM b),
+nn AS (SELECT COUNT(*) AS n FROM keyed),
+nt AS (SELECT COUNT(DISTINCT event_type) AS n_types FROM events),
+qs AS (SELECT * FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q))
+SELECT qs.q AS q,
+       power({_G_SQL},
+             (SELECT MIN(k) FROM cum, nn
+              WHERE cum.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT)))
+         * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       nn.n AS n, nt.n_types AS n_types, TRUE AS stream_batch_identical
+FROM qs, nn, nt
+"""
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1694,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udds_quantile_protocol99": _udds_quantile_protocol99,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
+        "streaming_rollup_check": _streaming_rollup_check,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue_orders": _q3_top_revenue_orders,
         "events_type_stats": _events_type_stats,
@@ -1742,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_quantile_protocol99": _udds_oracle(None, qs_sql=_QS99_SQL),
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
+        "streaming_rollup_check": _STREAM_ROLLUP_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_revenue_orders": _Q3_SQL,
         "events_type_stats": _EVENTS_SQL,
