@@ -19,7 +19,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-__all__ = ["cosine_topk", "ivf_assign", "ivf_topk", "matrix_dots", "random_centroids"]
+__all__ = [
+    "cell_balance",
+    "cosine_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "kmeans_centroids",
+    "matrix_dots",
+    "random_centroids",
+]
 
 # above this many literal plane/centroid coefficients the Catalyst expression
 # tree stops being free: plan size, analysis time, and codegen all scale with
@@ -91,6 +99,86 @@ def random_centroids(dim: int, n_cells: int = 64, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((n_cells, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    sample_size: int = 32_768,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded sample.
+
+    Random centroids give wildly unbalanced cells on clustered (real)
+    embedding distributions — one hot cell can swallow whole clusters, so
+    probing it re-scans a large fraction of the table (scan amplification
+    at 100 TB). Training on the actual distribution splits dense regions:
+    measured on a skewed mixture fixture, max-cell/mean-cell drops ~5x and
+    the n_probe scan fraction with it (tests/test_ops.py, BENCH/HISTORY.md).
+
+    Driver memory is bounded by ``sample_size`` vectors (the classic IVF
+    training recipe — the quantizer needs a representative sample, not the
+    table): one Spark sample+limit, then k-means++ init and Lloyd's
+    iterations as numpy matmuls. Cosine geometry: inputs and centroids are
+    unit-normalized, assignment is argmax dot. Deterministic for a fixed
+    (input, seed, sample_size). Empty cells re-seed to the worst-covered
+    sample point. Drop-in for ``random_centroids`` via the same
+    ``centroids`` parameter of ivf_assign/ivf_topk.
+    """
+    n = df.count()
+    if n == 0:
+        raise ValueError("kmeans_centroids: empty input")
+    frac = min(1.0, (4.0 * sample_size) / float(n))
+    rows = (
+        df.select(vec_col).sample(fraction=frac, seed=seed)
+        .limit(sample_size).collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    if x.shape[0] < n_cells:
+        raise ValueError(
+            f"kmeans_centroids: sample ({x.shape[0]}) smaller than n_cells "
+            f"({n_cells}); raise sample_size or lower n_cells"
+        )
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on (1 - cos)^2
+    cents = [x[rng.integers(x.shape[0])]]
+    for _ in range(n_cells - 1):
+        best = np.max(np.stack([x @ c for c in cents]), axis=0)
+        d2 = np.maximum(1.0 - best, 1e-12) ** 2
+        cents.append(x[rng.choice(x.shape[0], p=d2 / d2.sum())])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_cells):
+            members = assign == j
+            if members.any():
+                v = x[members].mean(axis=0)
+                c[j] = v / np.linalg.norm(v)
+            else:
+                c[j] = x[np.argmin(np.max(x @ c.T, axis=1))]
+    return c
+
+
+def cell_balance(df_assigned: DataFrame, n_cells: int, cell_col: str = "cell_id") -> dict:
+    """Cell-occupancy balance of an IVF assignment (bounded collect: one
+    row per cell). max_over_mean ~ worst-case scan amplification of probing
+    the hottest cell; empty cells waste quantizer capacity."""
+    counts = {
+        int(r[0]): int(r[1])
+        for r in df_assigned.groupBy(cell_col).count().collect()
+    }
+    full = np.array([counts.get(i, 0) for i in range(n_cells)], dtype=np.float64)
+    total = full.sum()
+    p = full[full > 0] / total if total else np.array([1.0])
+    return {
+        "n_cells": n_cells,
+        "max_over_mean": float(full.max() / full.mean()) if total else 0.0,
+        "empty_cells": int((full == 0).sum()),
+        "entropy_ratio": float(-(p * np.log(p)).sum() / np.log(n_cells)),
+    }
 
 
 def ivf_assign(

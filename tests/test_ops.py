@@ -211,6 +211,62 @@ def test_ivf_topk_recall(spark):
     assert len(exact & approx) >= 5  # >=50% recall at half the cells probed
 
 
+def test_ivf_trained_centroids_balance_and_recall(spark):
+    """Trained (spherical k-means) centroids vs random on a SKEWED
+    clustered embedding distribution — the real-data regime. Random
+    centroids let one hot cell swallow whole clusters: recall looks fine
+    only because probing re-scans a large fraction of the table. Trained
+    centroids split dense regions: balanced cells, bounded probe scan,
+    recall held at fixed n_probe."""
+    from puddsketch_spark.ops.similarity import cell_balance, kmeans_centroids
+
+    rng = np.random.default_rng(0)
+    dim, n, k = 32, 4000, 16
+    centers = rng.standard_normal((6, dim)) * 3
+    labels = rng.choice(6, n, p=[0.5, 0.2, 0.15, 0.1, 0.04, 0.01])
+    x = centers[labels] + rng.standard_normal((n, dim)) * 0.6
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    trained = kmeans_centroids(emb, n_cells=k, sample_size=2048, seed=7)
+    assert trained.shape == (k, dim)
+    # deterministic for fixed input/seed
+    assert np.array_equal(trained, kmeans_centroids(emb, n_cells=k,
+                                                    sample_size=2048, seed=7))
+    rand = random_centroids(dim, n_cells=k)
+    a_trained = ivf_assign(emb, trained).cache()
+    a_rand = ivf_assign(emb, rand).cache()
+    b_trained = cell_balance(a_trained, k)
+    b_rand = cell_balance(a_rand, k)
+    # skew crushes random cells (prototype: 8.0 max/mean, 4 empty) while
+    # training stays near-uniform (1.6); assert with slack
+    assert b_trained["max_over_mean"] < b_rand["max_over_mean"] / 2
+    assert b_trained["empty_cells"] == 0
+
+    n_probe = 4
+    recalls, scanned = [], []
+    for qi in (0, 5, 11, 23):
+        q = [float(v) for v in x[qi]]
+        exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+        approx = {r.vec_id
+                  for r in ivf_topk(a_trained, trained, q, k=10,
+                                    n_probe=n_probe).collect()}
+        recalls.append(len(exact & approx) / 10)
+        qv = np.asarray(q)
+        cells = np.argsort(-(trained @ (qv / np.linalg.norm(qv))))[:n_probe]
+        scanned.append(
+            a_trained.where(F.col("cell_id").isin([int(c) for c in cells])).count() / n
+        )
+    assert np.mean(recalls) >= 0.9
+    # balanced cells bound the probe scan near n_probe/n_cells
+    assert max(scanned) <= 2.5 * n_probe / k
+    for df in (emb, a_trained, a_rand):
+        df.unpersist()
+
+
 def test_ivf_partition_pruning(spark, tmp_path):
     """The 100-TB IVF contract: with the table laid out by cell_id, the probe
     filter must prune at the SCAN (PartitionFilters), not post-read."""

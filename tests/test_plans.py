@@ -47,7 +47,11 @@ def test_q3_q5_broadcast_dims_only(spark):
         q3 = tree(_plan(entry.queries()["q3_top_revenue_orders"](spark, SF)))
         # exactly one broadcast: the filtered customer dim
         assert q3.count("BroadcastExchange") == 1
-        assert "SortMergeJoin" in q3  # lineitem<->orders shuffles, no hint
+        # lineitem<->orders still SHUFFLES (never a fact broadcast), but as
+        # a hinted shuffled-hash join: build side = segment-filtered orders
+        # hashed on its unique key, no sort of either fact (2x at sf0.1)
+        assert "ShuffledHashJoin" in q3
+        assert "SortMergeJoin" not in q3
         # top-k compiles to TakeOrdered, not a global sort
         assert "TakeOrderedAndProject" in q3
 
