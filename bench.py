@@ -189,7 +189,72 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     }
 
 
+def _load_round(path: str) -> dict | None:
+    """Extract our bench JSON line from a driver BENCH_r*.json (the driver
+    wraps stdout in a 'tail' string) or from a raw bench.py output file."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    tail = doc.get("tail", "")
+    idx = tail.rfind('{"metric"')
+    if idx < 0:
+        return None
+    return json.loads(tail[idx:])
+
+
+def emit_history() -> None:
+    """Regenerate the per-round table in BENCH/HISTORY.md between the
+    table:begin/table:end markers from the committed BENCH_r*.json
+    artifacts — the table is GENERATED, never hand-edited, so it cannot
+    drift from the shipped JSON again (VERDICT r3 finding 2)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        tag = re.search(r"BENCH_(r\d+)", path).group(1)
+        data = _load_round(path)
+        if data:
+            rounds.append((tag, data))
+    names: list[str] = []
+    for _, data in rounds:
+        for q in data["queries"]:
+            if q not in names:
+                names.append(q)
+    heads = [f"{tag} (s{', median' if data.get('repeats', 1) > 1 else ''})"
+             for tag, data in rounds]
+    lines = ["| query | " + " | ".join(heads) + " |",
+             "|---|" + "---|" * len(rounds)]
+    for q in names:
+        cells = [
+            ("%.3f" % data["queries"][q]) if q in data["queries"] else "—"
+            for _, data in rounds
+        ]
+        lines.append(f"| {q} | " + " | ".join(cells) + " |")
+    totals = " | ".join("%.3f" % sum(d["queries"].values()) for _, d in rounds)
+    lines.append(f"| **sum** | {totals} |")
+    table = "\n".join(lines)
+
+    hist = os.path.join(here, "BENCH", "HISTORY.md")
+    with open(hist) as f:
+        text = f.read()
+    begin, end = "<!-- table:begin -->", "<!-- table:end -->"
+    if begin not in text or end not in text:
+        raise SystemExit(f"{hist} is missing the {begin}/{end} markers")
+    pre, rest = text.split(begin, 1)
+    _, post = rest.split(end, 1)
+    with open(hist, "w") as f:
+        f.write(pre + begin + "\n" + table + "\n" + end + post)
+    print(f"regenerated HISTORY table from {len(rounds)} rounds: "
+          + ", ".join(tag for tag, _ in rounds))
+
+
 def main() -> None:
+    if "--history" in sys.argv:
+        emit_history()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     _maybe_pin(cpus)
