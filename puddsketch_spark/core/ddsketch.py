@@ -165,8 +165,12 @@ class DDSketchPair:
         self.zero_count += int(near_zero.sum())
         v = v[~near_zero]
         if self.compat:
-            # reference key fn: ceil(log10(x) / log10(gamma)), same libm
-            base = _libm_log10(np.array([self.gamma]))[0]
+            # reference key fn: ceil(log10(x) / base), same libm; a uniform
+            # collapse DOUBLES base exactly (the uddsketch.cpp:220
+            # convention) rather than recomputing log10(gamma^2)
+            base = float(2**self.num_collapses) * _libm_log10(
+                np.array([self.gamma0])
+            )[0]
             _keys = lambda x: np.ceil(_libm_log10(x) / base).astype(np.int64)
         else:
             lg = self.log_gamma
@@ -195,10 +199,14 @@ class DDSketchPair:
         if self.collapse_mode == "ddog_high":
             self._ddog_high_collapse()
             return
-        while self.m > 0 and self.num_buckets > self.m:
+        # B* occupies one slot of the bound here too: the reference's
+        # uniform pair collapse counts it inside the positive store
+        # (collapseArrayPair's `(sizep + sizen) > bound`,
+        # ArraySketch.cc:181, with B* packed in posi)
+        while self.m > 0 and self._bound_excess() > 0:
             self.collapse(1)
 
-    def _ddog_excess(self) -> int:
+    def _bound_excess(self) -> int:
         # reference parity: B* lives in the positive array and consumes one
         # slot of the bound even though it is never collapsed
         # (ArraySketch.cc:224-231, loop condition at :247)
@@ -212,7 +220,7 @@ class DDSketchPair:
         fold the lowest-key positive bins. B* is never collapsed."""
         if self.m <= 0:
             return
-        excess = self._ddog_excess()
+        excess = self._bound_excess()
         if excess <= 0:
             return
         # negative store: can give up (sizen - 1) bins
@@ -244,7 +252,7 @@ class DDSketchPair:
         B* is never collapsed."""
         if self.m <= 0:
             return
-        excess = self._ddog_excess()
+        excess = self._bound_excess()
         if excess <= 0:
             return
         give_p = min(excess, max(self.pos_keys.size - 1, 0))

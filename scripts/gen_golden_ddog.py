@@ -21,6 +21,11 @@ process:
      recorded merge order (linear or pairwise tree)
   5. PairQuantile walks on the final global pack (ArraySketch.cc:10-79)
 
+plus the UNIFORM-collapse pair variant: per-rank fill with the compiled
+collapseUniformly (MapSketch.cc:43-83) and a reduceSketchPair fold
+(Merger.cc:283-463 -> mergeBins + collapsePairToMaxCollapses
+ArraySketch.cc:505-546 + collapseArrayPair :171-206).
+
 and dumps per-slice bucket maps, the post-merge bucket arrays, and the
 quantile walk results as JSON. tests/test_ddog_golden.py then asserts our
 DDSketchPair (compat=True) reproduces every stage bucket-for-bucket.
@@ -139,6 +144,50 @@ static void fill_slice(const double *v, long n, double alpha, int bound,
     }
 }
 
+// Per-rank fill for the UNIFORM-collapse pair variant (the reduceSketchPair
+// protocol, Merger.cc:283-463). No surviving reference driver fills this
+// flavor, so the fill is reconstructed from its components: per-item add at
+// the CURRENT resolution (base doubles per collapse, the uddsketch.cpp:220
+// convention), bound enforcement via the compiled collapseUniformly
+// (MapSketch.cc:43-83) on both non-empty stores, alpha iterated as
+// a' = 2a/(1+a^2) exactly like collapsePairToMaxCollapses
+// (ArraySketch.cc:539). B* counts toward the bound, matching the reduce's
+// own collapseArrayPair check (ArraySketch.cc:181).
+static void fill_uniform(const double *v, long n, double alpha0, int bound,
+                         Local &L, double *alpha_out) {
+    double gamma = (1 + alpha0) / (1 - alpha0);
+    double base0 = std::log10(gamma);
+    double NULLBOUND = pow(gamma, -MIN_KEY);
+    double base = base0;
+    double alpha = alpha0;
+    int key;
+    for (long i = 0; i < n; ++i) {
+        double x = v[i];
+        if (x > NULLBOUND) {
+            key = (int)std::ceil(std::log10(x) / base);
+            L.posibins += addKeyToSketch(L.posi, key);
+            ++L.posipop;
+        } else if (-NULLBOUND <= x && x <= NULLBOUND) {
+            L.posibins += addKeyToSketch(L.posi, -MIN_KEY);
+            ++L.posipop;
+        } else {
+            key = (int)std::ceil(std::log10(-x) / base);
+            L.negabins += addKeyToSketch(L.nega, key);
+            ++L.negapop;
+        }
+        while ((L.posibins + L.negabins) > bound) {
+            if (!L.posi.empty()) collapseUniformly(L.posi);
+            if (!L.nega.empty()) collapseUniformly(L.nega);
+            L.posibins = (int)L.posi.size();
+            L.negabins = (int)L.nega.size();
+            ++L.collapses;
+            base *= 2.0;
+            alpha = (2 * alpha) / (1 + pow(alpha, 2));
+        }
+    }
+    *alpha_out = alpha;
+}
+
 static void dump_map(const std::map<int, long> &m, bool first_field,
                      const char *name) {
     printf("%s\"%s\": [", first_field ? "" : ", ", name);
@@ -163,11 +212,15 @@ static void dump_bins(const struct Bucket *b, int n, bool first_field,
 
 int main(int argc, char **argv) {
     // argv: <values.bin> <alpha> <bound> <P> <order: linear|tree>
-    if (argc != 6) return 2;
+    //       [variant: ddog|uniform]
+    if (argc != 6 && argc != 7) return 2;
     double alpha = atof(argv[2]);
     int bound = atoi(argv[3]);
     int P = atoi(argv[4]);
     bool tree = (strcmp(argv[5], "tree") == 0);
+    bool uniform = (argc == 7 && strcmp(argv[6], "uniform") == 0);
+    void (*reduce_fn)(void *, void *, int *, MPI_Datatype *) =
+        uniform ? reduceSketchPair : reduceOriginal;
 
     FILE *f = fopen(argv[1], "rb");
     if (!f) return 3;
@@ -187,11 +240,20 @@ int main(int argc, char **argv) {
     printf("{\"slices\": [");
     for (int p = 0; p < P; ++p) {
         long cnt = base_n + (p < rem ? 1 : 0);
-        fill_slice(vals.data() + off, cnt, alpha, bound, locals[p]);
+        double p_alpha = alpha;
+        if (uniform) {
+            fill_uniform(vals.data() + off, cnt, alpha, bound, locals[p],
+                         &p_alpha);
+        } else {
+            fill_slice(vals.data() + off, cnt, alpha, bound, locals[p]);
+        }
         off += cnt;
         int size = 0;
+        // DDOG packs collapses=0 (ParallelSketcher.cc:727); the uniform
+        // reduce aligns on per-process collapse counts, so pack them
         packs[p] = pack_SketchesPair(
-            alpha, 0, bound, locals[p].posi, locals[p].posibins,
+            p_alpha, uniform ? locals[p].collapses : 0, bound,
+            locals[p].posi, locals[p].posibins,
             locals[p].posipop, locals[p].nega, locals[p].negabins,
             locals[p].negapop, &size);
         if (!packs[p]) return 5;
@@ -200,8 +262,8 @@ int main(int argc, char **argv) {
         printf("%s{\"n\": %ld, ", p ? ", " : "", cnt);
         dump_map(locals[p].posi, true, "posi");
         dump_map(locals[p].nega, false, "nega");
-        printf(", \"collapses\": %d, \"trashable\": %d}", locals[p].collapses,
-               locals[p].trashable);
+        printf(", \"collapses\": %d, \"trashable\": %d, \"alpha\": %.17g}",
+               locals[p].collapses, locals[p].trashable, p_alpha);
     }
     printf("], ");
 
@@ -211,13 +273,13 @@ int main(int argc, char **argv) {
         // linear: acc starts at rank P-1, ranks fold in descending order
         acc = packs[P - 1];
         for (int r = P - 2; r >= 0; --r) {
-            reduceOriginal(packs[r], acc, &Gbuffer_size, NULL);
+            reduce_fn(packs[r], acc, &Gbuffer_size, NULL);
         }
     } else {
         // pairwise binary tree: rank i absorbs rank i+step
         for (int step = 1; step < P; step *= 2) {
             for (int i = 0; i + step < P; i += 2 * step) {
-                reduceOriginal(packs[i + step], packs[i], &Gbuffer_size, NULL);
+                reduce_fn(packs[i + step], packs[i], &Gbuffer_size, NULL);
             }
         }
         acc = packs[0];
@@ -285,6 +347,15 @@ SPECS = [
     ("narrow_no_collapse", 8_000, 0.001, 1024, 8, 204),
 ]
 
+# (name, alpha, bound, P) for the uniform-collapse (reduceSketchPair)
+# variant, reusing the value files above; bounds force several uniform
+# collapses (gamma doubles each time) except the no-collapse control
+UNIFORM_SPECS = [
+    ("lognormal_pos", 0.005, 40, 8),
+    ("signed_mix", 0.005, 48, 8),
+    ("narrow_no_collapse", 0.001, 1024, 8),
+]
+
 
 def main() -> None:
     os.makedirs(GOLDEN, exist_ok=True)
@@ -330,6 +401,24 @@ def main() -> None:
                         "file": bin_name, "alpha": alpha, "bound": bound,
                         "P": P, "n": n, "mode": mode, "order": order, **ref,
                     })
+        # uniform-collapse pair variant (reduceSketchPair): mode-independent
+        # (no LowBins/HighBins ifdefs on that path), driven from the LowBins
+        # binary over the value files written above
+        for name, alpha, bound, P in UNIFORM_SPECS:
+            bin_name = f"values_ddog_{name}.bin"
+            n = next(s[1] for s in SPECS if s[0] == name)
+            for order in ("linear", "tree"):
+                out = subprocess.run(
+                    [exes["low"], os.path.join(GOLDEN, bin_name),
+                     repr(alpha), str(bound), str(P), order, "uniform"],
+                    check=True, capture_output=True, text=True,
+                ).stdout
+                ref = json.loads(out)
+                cases.append({
+                    "name": f"{name}/uniform/{order}",
+                    "file": bin_name, "alpha": alpha, "bound": bound,
+                    "P": P, "n": n, "mode": "uniform", "order": order, **ref,
+                })
     with open(os.path.join(GOLDEN, "ddog_compat.json"), "w") as f:
         json.dump({"cases": cases}, f, indent=1, sort_keys=True)
     print(f"wrote {len(cases)} DDOG golden cases to {GOLDEN}")

@@ -1,4 +1,4 @@
-"""Golden parity for the DDOG (DataDog-original) pair collapse against the
+"""Golden parity for the DDSketch pair collapse flavors against the
 COMPILED reference kernels.
 
 tests/golden/ddog_compat.json is produced by scripts/gen_golden_ddog.py,
@@ -8,10 +8,14 @@ Summary}.cc) in both -DLowBins and -DHighBins modes and replays the full
 distributed protocol — per-rank VALIDATION fill with per-item
 OriginalPairCollapse (ParallelSketcher.cc:546-648, MapSketch.cc:87-247),
 pack_SketchesPair, a reduceOriginal fold (Merger.cc:472-739), and
-PairQuantile walks (ArraySketch.cc:10-79). These tests assert our
-DDSketchPair (compat=True) reproduces every stage bucket-for-bucket:
-the per-slice fills, the standalone kernel fold, the quantile walk, and
-the engine's distributed keyed merge path (merge_grouped).
+PairQuantile walks (ArraySketch.cc:10-79) — plus the UNIFORM-collapse
+variant (per-item collapseUniformly fill, reduceSketchPair fold,
+Merger.cc:283-463 / ArraySketch.cc:171-206,505-546). These tests assert
+our DDSketchPair (compat=True) reproduces every stage
+bucket-for-bucket in all three collapse modes: the per-slice fills
+(incl. uniform collapse counts and the alpha trajectory), the standalone
+kernel fold in both recorded merge orders, the quantile walk, and the
+engine's distributed keyed merge path (merge_grouped).
 """
 
 from __future__ import annotations
@@ -80,7 +84,9 @@ def _build_slices(case, golden_dir):
     assert vals.size == case["n"]
     P = case["P"]
     base, rem = divmod(vals.size, P)
-    mode = "ddog_low" if case["mode"] == "low" else "ddog_high"
+    mode = {"low": "ddog_low", "high": "ddog_high", "uniform": "uniform"}[
+        case["mode"]
+    ]
     sks, off = [], 0
     for p in range(P):
         cnt = base + (1 if p < rem else 0)
@@ -125,9 +131,11 @@ def _fold(sks, order):
 
 def test_ddog_fill_golden_parity(ddog_golden):
     """Per-rank fill: batch compat update == the reference's sequential
-    per-item fill with fence redirection + OriginalPairCollapse."""
+    per-item fill (fence redirection + OriginalPairCollapse for the ddog
+    modes; per-item collapseUniformly for the uniform pair variant,
+    including the collapse COUNT and alpha trajectory)."""
     golden_dir, cases = ddog_golden
-    assert len(cases) >= 16
+    assert len(cases) >= 22
     for case in cases:
         if case["order"] != "linear":
             continue  # slices identical across orders; skip the duplicate
@@ -135,6 +143,9 @@ def test_ddog_fill_golden_parity(ddog_golden):
         for p, (sk, ref) in enumerate(zip(sks, case["slices"])):
             _assert_matches(sk, ref["posi"], ref["nega"],
                             (case["name"], "slice", p))
+            if case["mode"] == "uniform":
+                assert sk.num_collapses == ref["collapses"], (case["name"], p)
+                assert sk.alpha == pytest.approx(ref["alpha"], rel=1e-12)
 
 
 def test_ddog_merge_golden_parity(ddog_golden):
@@ -150,7 +161,11 @@ def test_ddog_merge_golden_parity(ddog_golden):
         zero, _, _ = _split_bstar(fin["posi"])
         assert acc.count == fin["posipop"] + fin["negapop"]
         assert int(acc.neg_counts.sum()) == fin["negapop"]
-        assert acc.alpha == pytest.approx(fin["alpha"], rel=1e-15)
+        # uniform: reference iterates a' = 2a/(1+a^2); ours is the closed
+        # form (g-1)/(g+1) — agree to accumulated-ulp precision
+        assert acc.alpha == pytest.approx(fin["alpha"], rel=1e-12)
+        if case["mode"] == "uniform":
+            assert acc.num_collapses == fin["collapses"], case["name"]
 
 
 def test_ddog_quantile_golden_parity(ddog_golden):
@@ -189,7 +204,7 @@ def test_ddog_distributed_merge_golden_parity(ddog_golden, spark):
     for base, pair in by_base.items():
         assert pair[0]["final"] == pair[1]["final"], (base, "order-unstable")
     # one Spark job per mode is enough: pick the signed cases (hardest)
-    for base in ("signed_mix/low", "signed_mix/high"):
+    for base in ("signed_mix/low", "signed_mix/high", "signed_mix/uniform"):
         case = next(c for c in by_base[base])
         sks = _build_slices(case, golden_dir)
         rows = [("g", bytearray(sk.to_bytes())) for sk in sks]
