@@ -389,7 +389,12 @@ def _q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-flavored 5-way join: revenue by nation. Only nation (25 rows,
     SF-invariant) carries a broadcast hint; orders/customer/supplier all
     scale with the data and are left to AQE (shuffle joins at 100x, runtime
-    broadcast when small enough)."""
+    broadcast when small enough). Measured r4: SHUFFLE_HASH hints on the
+    three build sides are a ~30% REGRESSION here (1.04s vs 0.79s median at
+    sf0.1) because they pin joins that AQE otherwise runtime-broadcasts at
+    small SF — unlike q3, where the probe side dwarfs the build side at
+    every SF, q5's dims sit near the broadcast threshold, so adaptivity
+    beats a static hint."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
