@@ -1302,6 +1302,43 @@ SELECT lang, {case} AS lang_pred, COUNT(*) AS n FROM s GROUP BY lang, lang_pred
 """
 
 
+def _doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (ops.text.with_repetition_stats) at
+    word granularity (sep=' ' — the synthetic docs have no newlines, and
+    word-level duplicate fraction is the same filter class). All Catalyst
+    higher-order functions; fractions are raw double divisions of integer
+    counts so the oracle's identical division hashes bit-equal."""
+    from puddsketch_spark.ops.text import with_repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_repetition_stats(d, sep=" ").select(
+        "doc_id", "n_units", "dup_unit_fraction", "dup_unit_char_fraction"
+    )
+
+
+_REPETITION_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(trim(x)) > 0) AS units
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(units) AS INT) AS n_units,
+       CASE WHEN len(units) > 0
+            THEN 1.0e0 - CAST(len(list_distinct(units)) AS DOUBLE)
+                         / CAST(len(units) AS DOUBLE)
+            ELSE 0.0e0 END AS dup_unit_fraction,
+       CASE WHEN list_sum(list_transform(units, x -> length(x))) > 0
+            THEN 1.0e0
+                 - CAST(list_sum(list_transform(list_distinct(units),
+                                                x -> length(x))) AS DOUBLE)
+                   / CAST(list_sum(list_transform(units,
+                                                  x -> length(x))) AS DOUBLE)
+            ELSE 0.0e0 END AS dup_unit_char_fraction
+FROM u
+"""
+
+
 def _minhash_selfdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH recall oracle: double the corpus with exact copies; every original
     must pair with its copy at est_jaccard 1.0."""
@@ -1841,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
+        "doc_repetition_stats": _doc_repetition_stats,
         "minhash_selfdup_recall": _minhash_selfdup_recall,
         "simhash_selfdup_recall": _simhash_selfdup_recall,
         "dedup_pipeline_survivors": _dedup_pipeline_survivors,
@@ -1890,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),
+        "doc_repetition_stats": _REPETITION_SQL,
         "minhash_selfdup_recall": _MINHASH_SQL,
         "simhash_selfdup_recall": _MINHASH_SQL,
         "dedup_pipeline_survivors": _SURVIVOR_SQL,

@@ -25,6 +25,7 @@ __all__ = [
     "normalize_text",
     "with_quality_score",
     "with_lang_id",
+    "with_repetition_stats",
     "winnowing_fingerprints",
 ]
 
@@ -86,6 +87,47 @@ def with_quality_score(
         + (sym_ratio <= 0.1).cast("double") * 0.2
     )
     return df.withColumn(out, F.round(score, 6))
+
+
+# ---------------------------------------------------------------- repetition
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 quality filters),
+    all Catalyst higher-order functions — codegen'd, zero Python:
+
+    - ``n_units``: non-blank units after splitting on ``sep`` (lines for
+      real corpora; pass ``sep=" "`` for word-level repetition)
+    - ``dup_unit_fraction``: 1 - distinct/total units (the duplicate-line
+      fraction filter)
+    - ``dup_unit_char_fraction``: 1 - chars-in-first-occurrences / chars —
+      the character-weighted variant (a few long duplicated units matter
+      more than many short ones)
+
+    Fractions are emitted as raw double divisions of integer counts (no
+    rounding) so an oracle computing the same division is bit-identical.
+    """
+    import re
+
+    units = F.filter(
+        F.split(F.col(text_col), re.escape(sep)),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    dunits = F.array_distinct(units)
+    n = F.size(units)
+    chars = F.aggregate(units, F.lit(0), lambda a, x: a + F.length(x))
+    dchars = F.aggregate(dunits, F.lit(0), lambda a, x: a + F.length(x))
+    return (
+        df.withColumn("n_units", n)
+        .withColumn(
+            "dup_unit_fraction",
+            F.when(n > 0, F.lit(1.0) - F.size(dunits) / n).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_unit_char_fraction",
+            F.when(chars > 0, F.lit(1.0) - dchars / chars).otherwise(F.lit(0.0)),
+        )
+    )
 
 
 # ---------------------------------------------------------------- lang id

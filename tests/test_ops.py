@@ -351,6 +351,37 @@ def test_quality_score(spark):
     assert s[1] < 0.4
 
 
+def test_repetition_stats(spark):
+    """Gopher repetition filters on hand-computed fixtures, line and word
+    granularity, incl. blank-unit filtering and the char-weighted variant."""
+    from puddsketch_spark.ops.text import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb\naaa\n\n  \nccc"),   # 4 units, 1 dup (aaa)
+            (2, "x\nx\nx\nx"),                  # all same
+            (3, "unique\nlines\nonly"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_repetition_stats(docs).collect()}
+    assert out[1].n_units == 4
+    assert out[1].dup_unit_fraction == pytest.approx(1 - 3 / 4)
+    # chars: aaa+bbb+aaa+ccc = 12, distinct = 9
+    assert out[1].dup_unit_char_fraction == pytest.approx(1 - 9 / 12)
+    assert out[2].dup_unit_fraction == pytest.approx(0.75)
+    assert out[3].dup_unit_fraction == 0.0
+    assert out[4].n_units == 0 and out[4].dup_unit_fraction == 0.0
+
+    words = spark.createDataFrame(
+        [(1, "the cat and the dog and the bird")], "doc_id long, text string"
+    )
+    r = with_repetition_stats(words, sep=" ").collect()[0]
+    assert r.n_units == 8
+    assert r.dup_unit_fraction == pytest.approx(1 - 5 / 8)
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [
