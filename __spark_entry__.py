@@ -519,6 +519,71 @@ SELECT bucket, COUNT(*) AS n_types FROM labeled GROUP BY bucket
 """
 
 
+def _theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (KMV) sketch set algebra — distinct-custkey overlap between
+    orders and customer, estimated sketch-side and checked against the
+    exact join answer. At sf0.01 the cardinalities sit below k=4096, so
+    the sketch is in exact mode and every estimate is integer-exact; at
+    larger SF the ok-flags use the sqrt(n/theta) absolute error model
+    (see ThetaSketch docstring). Companion set addition: HLL cannot
+    answer intersections/differences; theta exists for exactly that."""
+    import math
+
+    from puddsketch_spark.spark.sketches import theta_set_ops
+
+    # A = customers with at least one high-value order (a strict subset);
+    # B = all customers — so intersection, A\B (=0) and B\A are all exercised
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 350000)
+    cust = _t(spark, sf_dir, "customer")
+    ops = theta_set_ops(orders, "o_custkey", cust, "c_custkey", k=4096)
+
+    ea = orders.select("o_custkey").distinct().count()
+    eb = cust.select("c_custkey").distinct().count()
+    einter = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .intersect(cust.select(F.col("c_custkey").alias("k")))
+        .count()
+    )
+    exact = {
+        "a": ea,
+        "b": eb,
+        "union": ea + eb - einter,
+        "intersection": einter,
+        "a_not_b": ea - einter,
+        "b_not_a": eb - einter,
+    }
+
+    def ok(key: str) -> bool:
+        tol = 6.0 * math.sqrt(max(exact[key], 1) / ops["theta_frac"]) + 1.0
+        return abs(ops[key] - exact[key]) <= tol
+
+    row = (
+        int(ea), int(eb), int(einter), int(exact["a_not_b"]), int(exact["b_not_a"]),
+        bool(ok("a")), bool(ok("b")), bool(ok("union")), bool(ok("intersection")),
+        bool(ok("a_not_b")), bool(ok("b_not_a")),
+    )
+    return spark.createDataFrame(
+        [row],
+        "exact_a long, exact_b long, exact_common long, exact_a_only long, "
+        "exact_b_only long, a_ok boolean, b_ok boolean, union_ok boolean, "
+        "inter_ok boolean, a_not_b_ok boolean, b_not_a_ok boolean",
+    )
+
+
+_THETA_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice >= 350000),
+     b AS (SELECT DISTINCT c_custkey AS k FROM customer),
+     common AS (SELECT k FROM a INTERSECT SELECT k FROM b)
+SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+       (SELECT COUNT(*) FROM b) AS exact_b,
+       (SELECT COUNT(*) FROM common) AS exact_common,
+       (SELECT COUNT(*) FROM a) - (SELECT COUNT(*) FROM common) AS exact_a_only,
+       (SELECT COUNT(*) FROM b) - (SELECT COUNT(*) FROM common) AS exact_b_only,
+       TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok,
+       TRUE AS a_not_b_ok, TRUE AS b_not_a_ok
+"""
+
+
 def _events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1856,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_quantile": _events_gap_quantile,
         "top2_orders_per_customer": _top2_orders_per_customer,
         "set_ops_part_types": _set_ops_part_types,
+        "theta_custkey_overlap": _theta_custkey_overlap,
         "q5_nation_volume": _q5_nation_volume,
         "udds_by_flag_status": _udds_by_flag_status,
         "dedup_exact_documents": _dedup_exact_documents,
@@ -1906,6 +1972,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_quantile": _GAP_SQL,
         "top2_orders_per_customer": _TOP2_SQL,
         "set_ops_part_types": _SETOP_SQL,
+        "theta_custkey_overlap": _THETA_SQL,
         "q5_nation_volume": _Q5_SQL,
         "udds_by_flag_status": _UDDS2_SQL,
         "dedup_exact_documents": _DEDUP_SQL,

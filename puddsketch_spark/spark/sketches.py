@@ -19,10 +19,14 @@ from ..core.cms import CountMinSketch
 from ..core.hll import HLLSketch
 from ..core.kll import KLLSketch
 from ..core.tdigest import TDigest
+from ..core.theta import ThetaSketch
 from .agg import quantile_table, sketch_global, sketch_grouped
 
 __all__ = [
     "hll_distinct",
+    "theta_global",
+    "theta_states",
+    "theta_set_ops",
     "cms_states",
     "cms_global",
     "bloom_global",
@@ -53,6 +57,58 @@ def hll_distinct(
         return states.map(lambda b: int(round(HLLSketch.from_bytes(b).estimate())))
 
     return merged.select(*group_cols, est("state").alias("est"))
+
+
+# ---------------------------------------------------------------- Theta
+def theta_global(df: DataFrame, col: str, k: int = 4096) -> ThetaSketch:
+    """Global theta (KMV) distinct sketch of ``col`` (driver-side object).
+
+    Unlike :func:`hll_distinct`, the result supports set operations —
+    ``ThetaSketch.intersect`` / ``a_not_b`` / ``union`` — so overlap
+    cardinalities between two columns/tables stay sketch-level instead of
+    exact-join-level at scale.
+    """
+    factory = lambda: ThetaSketch(k=k)  # noqa: E731
+    return sketch_global(df, col, factory, ThetaSketch.from_bytes)
+
+
+def theta_states(
+    df: DataFrame, col: str, group_cols: Sequence[str], k: int = 4096
+) -> DataFrame:
+    """Per-group theta states (DataFrame[group..., state]) — mergeable blobs
+    for rollups, and set-op-able across groups driver-side."""
+    factory = lambda: ThetaSketch(k=k)  # noqa: E731
+    return sketch_grouped(df, col, group_cols, factory, ThetaSketch.from_bytes)
+
+
+def theta_set_ops(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, k: int = 4096
+) -> dict:
+    """Distinct-set algebra between two columns in one pass per side.
+
+    Returns {"a", "b", "union", "intersection", "a_not_b", "b_not_a",
+    "jaccard", "rse"} — every cardinality a float estimate from the two
+    theta sketches. The two sketch fills are independent Spark jobs; each
+    shuffles only (k * 8)-byte key blobs, never the columns themselves.
+    """
+    sa = theta_global(df_a, col_a, k=k)
+    sb = theta_global(df_b, col_b, k=k)
+    union = ThetaSketch.union(sa, sb)
+    inter = ThetaSketch.intersect(sa, sb)
+    u = union.estimate()
+    return {
+        "a": sa.estimate(),
+        "b": sb.estimate(),
+        "union": u,
+        "intersection": inter.estimate(),
+        "a_not_b": ThetaSketch.a_not_b(sa, sb).estimate(),
+        "b_not_a": ThetaSketch.a_not_b(sb, sa).estimate(),
+        "jaccard": (inter.estimate() / u) if u > 0 else 0.0,
+        "rse": max(sa.rse(), sb.rse()),
+        # smallest sampling fraction across the ops — error bars are
+        # ~sqrt(n / theta_frac) absolute, see ThetaSketch docstring
+        "theta_frac": float(min(sa.theta, sb.theta)) / float(1 << 63),
+    }
 
 
 # ---------------------------------------------------------------- CMS

@@ -190,3 +190,83 @@ def test_bloom_weighted_matches_row_path():
     b2.update_weighted(np.array([1.0, 2.0, 3.0, np.nan]), np.array([1, 2, 1, 5]))
     assert np.array_equal(b1.bits, b2.bits)
     assert b1.n_added == b2.n_added == 4
+
+
+# ---------------------------------------------------------------- Theta
+def test_theta_exact_mode_below_k():
+    from puddsketch_spark.core import ThetaSketch
+
+    vals = np.array([f"id{j}" for j in range(1_000)], dtype=object)
+    sk = ThetaSketch(k=4096).update(vals).update(vals[:500])  # dupes don't count
+    assert sk.is_exact and sk.estimate() == 1_000.0
+    assert sk.rse() == 0.0
+
+
+@pytest.mark.parametrize("card", [50_000, 400_000])
+def test_theta_accuracy_estimation_mode(card):
+    from puddsketch_spark.core import ThetaSketch
+
+    vals = np.array([f"id{j}" for j in range(card)], dtype=object)
+    sk = ThetaSketch(k=4096).update(vals)
+    assert not sk.is_exact
+    rse = 1.0 / np.sqrt(4096 - 1)
+    assert abs(sk.estimate() - card) / card <= 4 * rse, (sk.estimate(), card)
+
+
+def test_theta_merge_commutative_associative_bucket_for_bucket():
+    from puddsketch_spark.core import ThetaSketch
+
+    def fill(seed, card):
+        return ThetaSketch(k=256).update(_ids(30_000, seed, card))
+
+    a, b, c = fill(1, 20_000), fill(2, 30_000), fill(3, 10_000)
+    ab = ThetaSketch.from_bytes(a.to_bytes()).merge(b)
+    ba = ThetaSketch.from_bytes(b.to_bytes()).merge(a)
+    assert ab.same_buckets(ba)
+    abc1 = ThetaSketch.from_bytes(ab.to_bytes()).merge(c)
+    bc = ThetaSketch.from_bytes(b.to_bytes()).merge(c)
+    abc2 = ThetaSketch.from_bytes(a.to_bytes()).merge(bc)
+    assert abc1.same_buckets(abc2)
+    exact = len(
+        set(_ids(30_000, 1, 20_000)) | set(_ids(30_000, 2, 30_000)) | set(_ids(30_000, 3, 10_000))
+    )
+    assert abs(abc1.estimate() - exact) / exact <= 4 / np.sqrt(255)
+
+
+def test_theta_set_ops_vs_exact():
+    from puddsketch_spark.core import ThetaSketch
+
+    a_vals = np.array([f"id{j}" for j in range(0, 60_000)], dtype=object)
+    b_vals = np.array([f"id{j}" for j in range(40_000, 120_000)], dtype=object)
+    sa = ThetaSketch(k=4096).update(a_vals)
+    sb = ThetaSketch(k=4096).update(b_vals)
+    tol = 5 / np.sqrt(4096 - 1)  # intersection error grows ~1/jaccard; generous
+    inter = ThetaSketch.intersect(sa, sb).estimate()
+    assert abs(inter - 20_000) / 20_000 <= tol, inter
+    diff = ThetaSketch.a_not_b(sa, sb).estimate()
+    assert abs(diff - 40_000) / 40_000 <= tol, diff
+    uni = ThetaSketch.union(sa, sb).estimate()
+    assert abs(uni - 120_000) / 120_000 <= tol, uni
+    # intersection result is itself a sketch: compose (A ∩ B) \ B == empty
+    ab = ThetaSketch.intersect(sa, sb)
+    assert ThetaSketch.a_not_b(ab, sb).estimate() == 0.0
+
+
+def test_theta_serde_roundtrip_and_k_mismatch():
+    from puddsketch_spark.core import ThetaSketch
+
+    sk = ThetaSketch(k=64).update(_ids(5_000, 7, 3_000))
+    rt = ThetaSketch.from_bytes(sk.to_bytes())
+    assert rt.same_buckets(sk)
+    with pytest.raises(ValueError, match="k mismatch"):
+        ThetaSketch(k=64).merge(ThetaSketch(k=128))
+
+
+def test_theta_weighted_matches_row_path_and_nan():
+    from puddsketch_spark.core import ThetaSketch
+
+    t1 = ThetaSketch(k=64).update(np.array([1.0, 2.0, 2.0, 3.0, np.nan]))
+    t2 = ThetaSketch(k=64).update_weighted(
+        np.array([1.0, 2.0, 3.0, np.nan]), np.array([1, 2, 1, 5])
+    )
+    assert t1.same_buckets(t2) and t1.estimate() == 3.0

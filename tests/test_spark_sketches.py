@@ -122,3 +122,50 @@ def test_dd_quantiles_grouped_and_modes(spark):
     g = dd_quantiles(df.where("grp = 'b'"), "v", (), qs=[0.5], alpha=0.01,
                      bound=256, collapse_mode="ddog_low").first()
     assert g.q == 0.5 and g.est > 0
+
+
+def test_theta_distributed_set_ops_vs_exact(spark):
+    """Two transcript slices through theta_global + theta_set_ops; every
+    set-algebra estimate within 5x the k=4096 RSE of the exact join answer,
+    and the distributed fill is bucket-identical to a local fill (merge-order
+    invariance through the shuffle)."""
+    from puddsketch_spark.core import ThetaSketch
+    from puddsketch_spark.spark.sketches import theta_global, theta_set_ops
+
+    t = transcripts(spark, n_conv=3_000, avg_turns=6, seed=9).cache()
+    a = t.where("role = 'user'")
+    b = t.where("tool is not null")
+    ops = theta_set_ops(a, "conv_id", b, "conv_id", k=1024)
+    ea = a.select("conv_id").distinct().count()
+    eb = b.select("conv_id").distinct().count()
+    einter = a.select("conv_id").intersect(b.select("conv_id")).count()
+    eunion = a.select("conv_id").union(b.select("conv_id")).distinct().count()
+    # Set-op error is ABSOLUTE, ~sqrt(n/theta): a small A\B difference out of a
+    # big union has std ~ sqrt(n_diff * |union| / k), not n_diff * rse.
+    for key, exact in [("a", ea), ("b", eb), ("intersection", einter), ("union", eunion),
+                       ("a_not_b", ea - einter), ("b_not_a", eb - einter)]:
+        if exact == 0:
+            assert ops[key] == 0.0
+        else:
+            tol = 5 * np.sqrt(max(exact, 1) * eunion / 1024)
+            assert abs(ops[key] - exact) <= tol, (key, ops[key], exact, tol)
+
+    # distributed fill == local single-threaded fill, bucket-for-bucket
+    dist = theta_global(a, "conv_id", k=256)
+    local_vals = np.array([r[0] for r in a.select("conv_id").collect()], dtype=object)
+    local = ThetaSketch(k=256).update(local_vals)
+    assert dist.same_buckets(local)
+
+
+def test_theta_pre_aggregate_bucket_identical(spark):
+    """pre_aggregate=True (Tungsten distinct upstream) yields byte-identical
+    theta state to the row path — distinct-count is weight-invariant."""
+    from puddsketch_spark.core import ThetaSketch
+    from puddsketch_spark.spark.agg import sketch_global
+
+    t = transcripts(spark, n_conv=800, avg_turns=8, seed=10)
+    df = t.select(F.col("turn_idx").cast("long").alias("v"))
+    row = sketch_global(df, "v", lambda: ThetaSketch(k=128), ThetaSketch.from_bytes)
+    pre = sketch_global(df, "v", lambda: ThetaSketch(k=128), ThetaSketch.from_bytes,
+                        pre_aggregate=True)
+    assert row.same_buckets(pre)
