@@ -1259,6 +1259,35 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    'benchmark' slice (doc_id % 10 == 0) of the corpus, via the Bloom
+    pre-filter path (distributed Bloom fill over benchmark grams, broadcast
+    Arrow probe, exact broadcast-join verify of candidates only) — the
+    count is exact, so DuckDB replays it with a plain gram join."""
+    from puddsketch_spark.ops.decontam import flag_contaminated
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    docs = d.where(F.col("doc_id") % 10 != 0)
+    flagged = flag_contaminated(docs, bench, n=4, method="bloom", bloom_fpr=0.001)
+    return flagged.where("contaminated").select("doc_id", "n_hit_grams")
+
+
+_DECONTAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+docs AS (SELECT * FROM grams WHERE doc_id % 10 != 0)
+SELECT doc_id, COUNT(*) AS n_hit_grams
+FROM docs JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
 def _cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puddsketch_spark.ops.similarity import cosine_topk
 
@@ -1941,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddog_grouped_window_check": _ddog_grouped_window_check,
         "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
+        "decontam_docs": _decontam_docs,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -1992,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "ddog_grouped_window_check": _DDOG_GROUPED_SQL,
         "ddsketch_ddog_quantiles": _DDOG_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
+        "decontam_docs": _DECONTAM_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),

@@ -1,0 +1,148 @@
+"""Benchmark decontamination for training-data pipelines.
+
+Flags documents that share word n-grams with a benchmark / eval set, the
+standard guard against test-set leakage into training corpora (the GPT-3 /
+PaLM 13-gram protocol family — here the n is a parameter).
+
+Scale shape (100 TB corpus, MB-scale benchmark):
+  * The benchmark side is SMALL by definition (eval sets are thousands of
+    documents) — its distinct-gram set broadcasts.
+  * ``method="join"``: docs explode per-doc-distinct grams and broadcast-join
+    the benchmark grams. No shuffle of document text; the only shuffle is the
+    per-doc hit-count aggregation, which carries (id, count) rows for hit
+    docs only.
+  * ``method="bloom"``: the benchmark grams fill a Bloom filter (via the
+    library's own mergeable-UDAF fill, so the filter is built distributed),
+    the filter bytes broadcast into an Arrow-vectorized probe over the doc
+    grams — one scan, ZERO shuffle — and only Bloom-candidate docs (no false
+    negatives, tunable FP rate) enter the exact broadcast-join verify. At
+    contamination rates of ~1% this removes ~99% of the join input.
+Both methods return identical exact results; bloom is the scan-bound path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["word_ngrams", "benchmark_grams", "flag_contaminated"]
+
+
+def word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
+    """Catalyst expression: array of space-joined word ``n``-grams of
+    ``text_col`` (per-doc distinct by default); empty array when the doc has
+    fewer than ``n`` tokens. Stays inside whole-stage codegen — no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def benchmark_grams(
+    bench: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-distinct word n-grams of the benchmark set: DataFrame[gram]."""
+    return (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
+    )
+
+
+def _exact_hits(doc_grams: DataFrame, bench: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc count of benchmark grams: broadcast-join on gram, agg on id."""
+    return (
+        doc_grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    method: str = "join",
+    bloom_fpr: float = 0.001,
+) -> DataFrame:
+    """DataFrame[id_col, n_hit_grams, contaminated] over ALL docs.
+
+    ``n_hit_grams`` = number of distinct word n-grams of the doc that occur
+    anywhere in ``bench``; ``contaminated`` = n_hit_grams >= min_hits. The
+    count is exact under both methods (bloom only pre-filters candidates;
+    zero false negatives, survivors re-verified by the exact join).
+    """
+    bench_text_col = bench_text_col or text_col
+    bgrams = benchmark_grams(bench, n=n, text_col=bench_text_col)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+
+    if method == "bloom":
+        from ..core.bloom import BloomFilter, optimal_params
+        from ..spark.agg import sketch_global
+
+        n_grams = bgrams.count()
+        num_bits, num_hashes = optimal_params(max(n_grams, 64), fpr=bloom_fpr)
+        bf = sketch_global(
+            bgrams,
+            "gram",
+            lambda: BloomFilter(num_bits=num_bits, num_hashes=num_hashes),
+            BloomFilter.from_bytes,
+        )
+        blob = docs.sparkSession.sparkContext.broadcast(bf.to_bytes())
+
+        out_schema = f"{id_col} long, n_bloom_hits long"
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            filt = BloomFilter.from_bytes(blob.value)
+            for pdf in batches:
+                lens = pdf["grams"].map(len).to_numpy()
+                if lens.sum() == 0:
+                    yield pd.DataFrame(
+                        {id_col: pdf[id_col], "n_bloom_hits": np.zeros(len(pdf), np.int64)}
+                    )
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(g, dtype=object) for g in pdf["grams"]]
+                )
+                hits = filt.contains(flat).astype(np.int64)
+                starts = np.zeros(len(pdf), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                nonempty = lens > 0
+                per_doc = np.zeros(len(pdf), dtype=np.int64)
+                per_doc[nonempty] = np.add.reduceat(hits, starts[nonempty])
+                yield pd.DataFrame({id_col: pdf[id_col], "n_bloom_hits": per_doc})
+
+        with_grams = docs.select(
+            F.col(id_col), word_ngrams(text_col, n).alias("grams")
+        )
+        candidates = (
+            with_grams.mapInPandas(probe, schema=out_schema)
+            .where(F.col("n_bloom_hits") >= min_hits)
+            .select(id_col)
+        )
+        # exact verify only the candidates (semi-join keeps the gram explode
+        # restricted to the ~contaminated fraction of the corpus)
+        doc_grams = doc_grams.join(candidates, id_col, "left_semi")
+
+    hits = _exact_hits(doc_grams, bgrams, id_col)
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -642,3 +642,57 @@ def test_pack_sequences_across_arrow_batches(spark):
         assert by_pack[big_pack] == [0]  # the oversized doc packs alone
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_decontam_join_and_bloom_agree(spark):
+    """flag_contaminated: join and bloom methods return identical exact
+    counts; planted overlaps detected, clean docs zero, short docs safe."""
+    from puddsketch_spark.ops.decontam import flag_contaminated
+
+    bench_rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+    ]
+    doc_rows = [
+        (10, "intro text then the quick brown fox jumps over the lazy dog end"),  # 1 bench doc
+        (11, "pack my box with five dozen liquor jugs"),  # verbatim bench doc
+        (12, "completely unrelated words about spark shuffles and parquet files"),
+        (13, "short doc"),  # fewer than n tokens -> no grams
+        (14, "fox jumps over a lazy dog but quick brown is elsewhere"),
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+
+    res_j = {
+        r.doc_id: (r.n_hit_grams, r.contaminated)
+        for r in flag_contaminated(docs, bench, n=5, method="join").collect()
+    }
+    res_b = {
+        r.doc_id: (r.n_hit_grams, r.contaminated)
+        for r in flag_contaminated(docs, bench, n=5, method="bloom").collect()
+    }
+    assert res_j == res_b
+    assert res_j[11] == (4, True)  # 8 tokens -> 4 distinct 5-grams, all bench
+    assert res_j[10][1] and res_j[10][0] >= 5  # contains the whole bench doc
+    assert res_j[12] == (0, False)
+    assert res_j[13] == (0, False)
+    # doc 14 shares many words but no 5 consecutive tokens ("a" breaks the run)
+    assert res_j[14] == (0, False)
+    assert set(res_j) == {10, 11, 12, 13, 14}  # every doc present in output
+
+
+def test_decontam_min_hits_threshold(spark):
+    from puddsketch_spark.ops.decontam import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "x alpha beta gamma delta epsilon y")],
+        "doc_id long, text string",
+    )
+    res = {
+        r.doc_id: r.contaminated
+        for r in flag_contaminated(docs, bench, n=5, min_hits=2, method="bloom").collect()
+    }
+    assert res == {1: True, 2: False}  # doc 2 has exactly 1 shared 5-gram
