@@ -1259,6 +1259,42 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join driver query: every 'error' event matched to the same
+    user's most recent prior (inclusive) 'click' event — one keyed window
+    over the unioned sides, single shuffle (tests/test_asof.py pins the
+    plan). Oracle: DuckDB's NATIVE ASOF JOIN, so the operator's semantics
+    are checked against an independent engine's implementation of the same
+    relational operator, not a re-derivation."""
+    from puddsketch_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(errors, clicks, on="ts", by=["user_id"])
+    # no-match rows surface as -1 (not NULL) so the hash compare is total-ordered
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, ts_r, ts)"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE(c.event_id, -1) AS click_id,
+       COALESCE(date_diff('microsecond', c.ts, e.ts), -1) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
 def _decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any word 4-gram with the
     'benchmark' slice (doc_id % 10 == 0) of the corpus, via the Bloom
@@ -1971,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "decontam_docs": _decontam_docs,
+        "asof_error_last_click": _asof_error_last_click,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2023,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_ddog_quantiles": _DDOG_SQL,
         "ngram_jaccard_docs": _NGRAM_SQL,
         "decontam_docs": _DECONTAM_SQL,
+        "asof_error_last_click": _ASOF_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),
