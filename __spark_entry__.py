@@ -1259,6 +1259,48 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the event stream (30-min inactivity gap per user) and roll
+    up per user: session count, largest session, longest session duration.
+    One keyed window + reused-shuffle agg (plan pinned in
+    tests/test_sessions.py); oracle is the same two stacked window
+    functions in DuckDB SQL."""
+    from puddsketch_spark.ops.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    per = session_stats(ev, ts_col="ts", by=["user_id"], gap="INTERVAL 30 MINUTES")
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("dur_us").alias("max_session_dur_us"),
+    )
+
+
+_SESSION_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+),
+per AS (
+  SELECT user_id, sid, COUNT(*) AS n,
+         date_diff('microsecond', MIN(ts), MAX(ts)) AS dur
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events,
+       MAX(dur) AS max_session_dur_us
+FROM per GROUP BY user_id
+"""
+
+
 def _asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join driver query: every 'error' event matched to the same
     user's most recent prior (inclusive) 'click' event — one keyed window
@@ -2008,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "decontam_docs": _decontam_docs,
         "asof_error_last_click": _asof_error_last_click,
+        "events_sessionization": _events_sessionization,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2061,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_SQL,
         "decontam_docs": _DECONTAM_SQL,
         "asof_error_last_click": _ASOF_SQL,
+        "events_sessionization": _SESSION_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),
