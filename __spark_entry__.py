@@ -1259,6 +1259,57 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup: documents re-lined into aligned 6-word
+    chunks, then every line occurring in >2 distinct docs removed via the
+    broadcast-probe path (hot hashes ship as one sorted array; document
+    text never shuffles). Output: md5 of the reassembled text pins
+    order-preserving reassembly bit-exactly against the SQL replay."""
+    from puddsketch_spark.ops.boilerplate import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    relined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 6).cast("int")),
+                lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = dedup_lines(relined, max_doc_count=2, method="broadcast")
+    return out.where(F.col("n_removed") > 0).select(
+        "doc_id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+_BOILER_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+  SELECT doc_id, i AS pos, array_to_string(t[6*i+1 : 6*i+6], ' ') AS line
+  FROM toks, UNNEST(generate_series(0, CAST(floor((len(t)-1)/6) AS BIGINT))) AS u(i)
+),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l JOIN freq f USING (line)
+  WHERE f.df <= 2
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
+       t.n_total - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.clean_md5, md5('')) AS clean_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+WHERE t.n_total - COALESCE(r.n_kept, 0) > 0
+"""
+
+
 def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize the event stream (30-min inactivity gap per user) and roll
     up per user: session count, largest session, longest session duration.
@@ -2051,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": _decontam_docs,
         "asof_error_last_click": _asof_error_last_click,
         "events_sessionization": _events_sessionization,
+        "boilerplate_line_dedup": _boilerplate_line_dedup,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2105,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_docs": _DECONTAM_SQL,
         "asof_error_last_click": _ASOF_SQL,
         "events_sessionization": _SESSION_SQL,
+        "boilerplate_line_dedup": _BOILER_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),
