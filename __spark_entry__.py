@@ -1259,6 +1259,67 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _moments_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact distribution-shape stats (Pébay mergeable moments):
+    per-returnflag variance/skewness/kurtosis of l_extendedprice from the
+    distributed sketch, checked to 1e-9 relative against Spark's own
+    two-pass exact computation. The oracle replays n/min/max/mean exactly
+    and the centered two-pass moments in SQL; the agreement flags are
+    emitted TRUE on both sides (floats themselves would hash-flap at the
+    last ulp across engines — the 4-decimal mean is the only raw float
+    crossing the compare)."""
+    from pyspark.sql import Window
+
+    from puddsketch_spark.spark.sketches import moments_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    mom = moments_stats(li, "l_extendedprice", ["l_returnflag"])
+
+    mean_w = Window.partitionBy("l_returnflag")
+    centered = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") - F.avg("l_extendedprice").over(mean_w)).alias("c"),
+    )
+    exact = centered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("xn"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.pow("c", 3)).alias("s3"),
+        F.sum(F.pow("c", 4)).alias("s4"),
+    ).select(
+        "l_returnflag",
+        (F.col("s2") / F.col("xn")).alias("xvar"),
+        (F.sqrt("xn") * F.col("s3") / F.pow("s2", 1.5)).alias("xskew"),
+        (F.col("xn") * F.col("s4") / (F.col("s2") * F.col("s2")) - 3.0).alias("xkurt"),
+    )
+
+    def close(a, b):
+        return (F.abs(F.col(a) - F.col(b)) <= 1e-9 * F.greatest(F.abs(b), F.lit(1.0)))
+
+    return (
+        mom.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("mean", 4).alias("mean_4"),
+            F.col("vmin").alias("min_price"),
+            F.col("vmax").alias("max_price"),
+            close("variance", "xvar").alias("var_ok"),
+            close("skewness", "xskew").alias("skew_ok"),
+            close("kurtosis", "xkurt").alias("kurt_ok"),
+        )
+    )
+
+
+_MOMENTS_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       round(AVG(l_extendedprice), 4) AS mean_4,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       TRUE AS var_ok, TRUE AS skew_ok, TRUE AS kurt_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup: documents re-lined into aligned 6-word
     chunks, then every line occurring in >2 distinct docs removed via the
@@ -2103,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_error_last_click": _asof_error_last_click,
         "events_sessionization": _events_sessionization,
         "boilerplate_line_dedup": _boilerplate_line_dedup,
+        "moments_price_by_flag": _moments_price_by_flag,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2158,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_error_last_click": _ASOF_SQL,
         "events_sessionization": _SESSION_SQL,
         "boilerplate_line_dedup": _BOILER_SQL,
+        "moments_price_by_flag": _MOMENTS_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),

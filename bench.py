@@ -95,6 +95,11 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "ddsketch_ddog_quantiles",
         "heavy_hitters_custkeys",
         "multimodal_pipeline_stats",
+        "theta_custkey_overlap",
+        "decontam_docs",
+        "asof_error_last_click",
+        "events_sessionization",
+        "boilerplate_line_dedup",
     ]:
         record(name, lambda name=name: qs[name](spark, sf_dir).count())
 

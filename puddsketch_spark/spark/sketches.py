@@ -27,6 +27,7 @@ __all__ = [
     "theta_global",
     "theta_states",
     "theta_set_ops",
+    "moments_stats",
     "cms_states",
     "cms_global",
     "bloom_global",
@@ -109,6 +110,52 @@ def theta_set_ops(
         # ~sqrt(n / theta_frac) absolute, see ThetaSketch docstring
         "theta_frac": float(min(sa.theta, sb.theta)) / float(1 << 63),
     }
+
+
+# ---------------------------------------------------------------- Moments
+def moments_stats(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Exact one-pass distribution-shape statistics per group:
+    DataFrame[group..., n, mean, variance, stddev, skewness, kurtosis,
+    vmin, vmax] via the mergeable MomentsSketch (Pébay pairwise combine).
+    Global (no groups) returns a single-row DataFrame."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..core.moments import MomentsSketch
+
+    def rows_of(sk: MomentsSketch) -> tuple:
+        return (
+            int(sk.n), float(sk.mean), float(sk.variance()), float(sk.stddev()),
+            float(sk.skewness()), float(sk.kurtosis()), float(sk.vmin),
+            float(sk.vmax),
+        )
+
+    stat_fields = [
+        StructField("n", LongType(), False),
+        StructField("mean", DoubleType(), True),
+        StructField("variance", DoubleType(), True),
+        StructField("stddev", DoubleType(), True),
+        StructField("skewness", DoubleType(), True),
+        StructField("kurtosis", DoubleType(), True),
+        StructField("vmin", DoubleType(), True),
+        StructField("vmax", DoubleType(), True),
+    ]
+    if not group_cols:
+        sk = sketch_global(df, value_col, MomentsSketch, MomentsSketch.from_bytes)
+        return df.sparkSession.createDataFrame([rows_of(sk)], StructType(stat_fields))
+    merged = sketch_grouped(
+        df, value_col, group_cols, MomentsSketch, MomentsSketch.from_bytes
+    )
+    group_fields = [f for f in merged.schema.fields if f.name in group_cols]
+    schema = StructType(group_fields + stat_fields)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = MomentsSketch.from_bytes(pdf["state"].iloc[0])
+        key = tuple(pdf[g].iloc[0] for g in group_cols)
+        return pd.DataFrame([key + rows_of(sk)], columns=[f.name for f in schema.fields])
+
+    return merged.groupBy(*group_cols).applyInPandas(finalize, schema=schema)
 
 
 # ---------------------------------------------------------------- CMS

@@ -270,3 +270,69 @@ def test_theta_weighted_matches_row_path_and_nan():
         np.array([1.0, 2.0, 3.0, np.nan]), np.array([1, 2, 1, 5])
     )
     assert t1.same_buckets(t2) and t1.estimate() == 3.0
+
+
+# ---------------------------------------------------------------- Moments
+def test_moments_matches_numpy_one_shot():
+    from puddsketch_spark.core.moments import MomentsSketch
+
+    rng = np.random.default_rng(5)
+    x = rng.lognormal(1.0, 0.7, 100_000)
+    sk = MomentsSketch()
+    for chunk in np.array_split(x, 13):  # uneven incremental fills
+        sk.update(chunk)
+    assert sk.count == 100_000
+    assert abs(sk.mean - x.mean()) <= 1e-12 * abs(x.mean())
+    assert abs(sk.variance() - x.var()) <= 1e-10 * x.var()
+    c = x - x.mean()
+    skew = np.sqrt(x.size) * (c**3).sum() / ((c**2).sum()) ** 1.5
+    kurt = x.size * (c**4).sum() / ((c**2).sum()) ** 2 - 3.0
+    assert abs(sk.skewness() - skew) <= 1e-8 * abs(skew)
+    assert abs(sk.kurtosis() - kurt) <= 1e-8 * abs(kurt)
+    assert sk.vmin == x.min() and sk.vmax == x.max()
+
+
+def test_moments_merge_any_order_and_serde():
+    from puddsketch_spark.core.moments import MomentsSketch
+
+    rng = np.random.default_rng(6)
+    parts = [rng.normal(i, 1 + i, 5_000) for i in range(6)]
+    whole = MomentsSketch().update(np.concatenate(parts))
+
+    fwd = MomentsSketch()
+    for p in parts:
+        fwd.merge(MomentsSketch.from_bytes(MomentsSketch().update(p).to_bytes()))
+    rev = MomentsSketch()
+    for p in reversed(parts):
+        rev.merge(MomentsSketch().update(p))
+    for sk in (fwd, rev):
+        assert sk.n == whole.n
+        assert abs(sk.mean - whole.mean) <= 1e-12 * abs(whole.mean)
+        assert abs(sk.variance() - whole.variance()) <= 1e-10 * whole.variance()
+        assert abs(sk.kurtosis() - whole.kurtosis()) <= 1e-8
+    rt = MomentsSketch.from_bytes(fwd.to_bytes())
+    assert rt.same_buckets(fwd)
+
+
+def test_moments_weighted_matches_expansion_and_nan():
+    from puddsketch_spark.core.moments import MomentsSketch
+
+    vals = np.array([1.0, 5.0, 9.0, np.nan])
+    w = np.array([3, 1, 2, 7])
+    expanded = np.array([1.0, 1.0, 1.0, 5.0, 9.0, 9.0])
+    a = MomentsSketch().update_weighted(vals, w)
+    b = MomentsSketch().update(expanded)
+    assert a.n == b.n == 6
+    assert abs(a.variance() - b.variance()) <= 1e-12
+    assert abs(a.skewness() - b.skewness()) <= 1e-12
+    assert (a.vmin, a.vmax) == (1.0, 9.0)
+
+
+def test_moments_empty_and_degenerate():
+    from puddsketch_spark.core.moments import MomentsSketch
+
+    e = MomentsSketch()
+    assert e.count == 0 and np.isnan(e.skewness())
+    const = MomentsSketch().update(np.full(100, 7.0))
+    assert const.variance() == 0.0 and np.isnan(const.kurtosis())
+    assert MomentsSketch().merge(const).same_buckets(const)
