@@ -1259,6 +1259,36 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _bloom_join_lineitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filtered join: lineitem joined to the selective large
+    parts subset (p_size >= 48). The library's distributed Bloom fill over
+    the dim keys probes the fact scan MAP-SIDE, so the exchange carries
+    only candidate rows (~selectivity + fpr); the exact join after the
+    filter makes the result identical to the plain join, which the DuckDB
+    oracle replays directly."""
+    from puddsketch_spark.ops.joins import bloom_filtered_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") >= 48)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_type")
+    )
+    joined = bloom_filtered_join(li, dim, "l_partkey", fpr=0.01)
+    return joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_BLOOMJOIN_SQL = """
+SELECT p_type, COUNT(*) AS n, round(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 48
+GROUP BY p_type
+"""
+
+
 def _moments_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass exact distribution-shape stats (Pébay mergeable moments):
     per-returnflag variance/skewness/kurtosis of l_extendedprice from the
@@ -2165,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": _events_sessionization,
         "boilerplate_line_dedup": _boilerplate_line_dedup,
         "moments_price_by_flag": _moments_price_by_flag,
+        "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2221,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": _SESSION_SQL,
         "boilerplate_line_dedup": _BOILER_SQL,
         "moments_price_by_flag": _MOMENTS_SQL,
+        "bloom_join_lineitem_parts": _BLOOMJOIN_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),

@@ -1,0 +1,98 @@
+"""Join-side runtime filters built from the library's own sketches.
+
+``bloom_filtered_join`` is the classic "runtime filter" / "sideways
+information passing" optimization: when joining a huge fact table against a
+selective dimension subset, most fact rows don't survive the join but are
+shuffled anyway. Building a Bloom filter over the dimension keys (with the
+library's distributed mergeable fill) and probing it MAP-SIDE on the fact
+scan drops non-joining rows before the exchange — the shuffle then carries
+only (candidate ∪ false positives) ≈ selectivity + fpr of the fact table.
+Zero false negatives means the subsequent real join returns exactly the
+plain join's rows; the filter is purely a bandwidth optimization, which the
+test suite pins by equality against the unfiltered join.
+
+Spark's own AQE has a limited runtime-filter feature; this operator makes
+the pattern explicit, works on any join the planner can't infer (e.g.
+pre-aggregated or unioned build sides), and reuses the filter across
+several probes (build once, probe many).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.bloom import BloomFilter, optimal_params
+
+__all__ = ["bloom_key_filter", "bloom_probe", "bloom_filtered_join"]
+
+
+def bloom_key_filter(
+    build: DataFrame, key_col: str, fpr: float = 0.01, expected: int | None = None
+) -> BloomFilter:
+    """Distributed Bloom fill over ``build``'s keys (driver-side filter
+    object, ~1.2 bytes/key at 1% fpr — broadcastable up to ~10^9 keys)."""
+    from ..spark.agg import sketch_global
+
+    if expected is None:
+        expected = build.select(key_col).distinct().count()
+    num_bits, num_hashes = optimal_params(max(expected, 64), fpr=fpr)
+    return sketch_global(
+        build,
+        key_col,
+        lambda: BloomFilter(num_bits=num_bits, num_hashes=num_hashes),
+        BloomFilter.from_bytes,
+    )
+
+
+def bloom_probe(
+    probe: DataFrame, key_col: str, filt: BloomFilter
+) -> DataFrame:
+    """Map-side pre-filter: rows of ``probe`` whose key MIGHT be in the
+    build side (no false negatives). Arrow-vectorized probe, no shuffle.
+
+    Dtype contract: integer keys are probed as int64, strings as objects —
+    matching the hash64 convention the fill used (see core.hashing)."""
+    blob = probe.sparkSession.sparkContext.broadcast(filt.to_bytes())
+    dtype = dict(probe.dtypes)[key_col]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter.from_bytes(blob.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            if dtype in ("bigint", "int", "smallint", "tinyint"):
+                keys = pdf[key_col].to_numpy().astype(np.int64, copy=False)
+            elif dtype in ("double", "float"):
+                keys = pdf[key_col].to_numpy().astype(np.float64, copy=False)
+            else:
+                keys = pdf[key_col].to_numpy().astype(object)
+            yield pdf[bf.contains(keys)]
+
+    return probe.mapInPandas(scan, schema=probe.schema)
+
+
+def bloom_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    fpr: float = 0.01,
+    dim_key: str | None = None,
+) -> DataFrame:
+    """``fact.join(dim, on, how)`` with a Bloom runtime filter on the fact
+    side. Result rows are IDENTICAL to the plain join (the exact join runs
+    after the pre-filter; Bloom only thins the exchange input). ``how``
+    must be inner/semi — outer joins need the dropped rows."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError("bloom_filtered_join supports inner/semi joins only")
+    key = on if isinstance(on, str) else on[0]
+    if not isinstance(on, str) and len(on) > 1:
+        raise ValueError("single-column keys only (compose a struct key first)")
+    filt = bloom_key_filter(dim, dim_key or key, fpr=fpr)
+    thinned = bloom_probe(fact, key, filt)
+    return thinned.join(dim, on, how)
