@@ -1259,6 +1259,42 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms by smoothed tf-idf (top-3, ties
+    broken by term). One explode + two hash aggs + broadcast vocabulary +
+    per-doc window; DuckDB replays the identical closed form."""
+    from puddsketch_spark.ops.text import top_terms_tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    out = top_terms_tfidf(d, k=3)
+    return out.select(
+        "doc_id", "rnk", "term", "tf", "df", F.round("weight", 6).alias("weight")
+    )
+
+
+_TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+),
+w2 AS (SELECT doc_id, term FROM words WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+weighted AS (
+  SELECT doc_id, term, tf, df,
+         tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) AS weight
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY weight DESC, term ASC) AS rnk
+  FROM weighted
+)
+SELECT doc_id, rnk, term, tf, df, round(weight, 6) AS weight
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def _bloom_join_lineitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom runtime-filtered join: lineitem joined to the selective large
     parts subset (p_size >= 48). The library's distributed Bloom fill over
@@ -2196,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_dedup": _boilerplate_line_dedup,
         "moments_price_by_flag": _moments_price_by_flag,
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
+        "tfidf_top_terms": _tfidf_top_terms,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2253,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_line_dedup": _BOILER_SQL,
         "moments_price_by_flag": _MOMENTS_SQL,
         "bloom_join_lineitem_parts": _BLOOMJOIN_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),

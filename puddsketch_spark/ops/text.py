@@ -26,6 +26,7 @@ __all__ = [
     "with_quality_score",
     "with_lang_id",
     "with_repetition_stats",
+    "top_terms_tfidf",
     "winnowing_fingerprints",
 ]
 
@@ -230,3 +231,51 @@ def winnowing_fingerprints(
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------- tf-idf
+def top_terms_tfidf(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf:
+    DataFrame[id_col, term, tf, df, weight, rnk].
+
+    weight = tf * (ln((N+1)/(df+1)) + 1)  (sklearn-style smooth idf).
+    Pure Catalyst: one explode, two hash aggregations (term counts per doc,
+    document frequency per term), a broadcast of the vocabulary df table,
+    and a per-doc top-k window. Shuffles carry (term, id, count) rows —
+    never document text; the vocabulary is small relative to the corpus
+    (Heaps' law), so its df table broadcasts. Deterministic tie-break:
+    weight desc, term asc. ``min_df`` drops hapax noise from the output.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    weighted = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0)
+        ).alias("weight"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        weighted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -696,3 +696,30 @@ def test_decontam_min_hits_threshold(spark):
         for r in flag_contaminated(docs, bench, n=5, min_hits=2, method="bloom").collect()
     }
     assert res == {1: True, 2: False}  # doc 2 has exactly 1 shared 5-gram
+
+
+def test_top_terms_tfidf(spark):
+    """tf-idf ranking: rare distinctive terms outrank common ones; smooth
+    idf matches the closed form; deterministic tie-break."""
+    import math
+
+    from puddsketch_spark.ops.text import top_terms_tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark common"),
+            (2, "duck duck common"),
+            (3, "common plain words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_terms_tfidf(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.term, r.tf, r.df, r.weight))
+    top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    assert top1 == {1: "spark", 2: "duck", 3: "here"}  # doc3: all df=1 ties -> term asc
+    r = [x for x in out if x.doc_id == 1 and x.term == "spark"][0]
+    assert r.tf == 3 and r.df == 1
+    assert abs(r.weight - 3 * (math.log(4 / 2) + 1)) < 1e-12
+    assert all(len(v) == 2 for v in by_doc.values())
