@@ -278,6 +278,115 @@ def _streaming_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_window_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed streaming under the correctness gate: the events
+    table streamed through streaming_sketch_windowed (1-day tumbling
+    windows, watermark-driven finalization via EventTimeTimeout), then two
+    sentinel rows 40 days ahead push the watermark past every real window's
+    horizon so all 30 day-windows emit final=true and evict their state.
+    Each final window's UDD sketch (m=0) is checked bucket-for-bucket
+    against a fresh BATCH fill of that day's rows, and the p50/p99
+    estimates are replayed BIT-EXACTLY by the per-day SQL bucket walk."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import sketch_grouped
+    from puddsketch_spark.streaming.sketch_stream import streaming_sketch_windowed
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = tempfile.mkdtemp(prefix="stream_win_src_")
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    ).coalesce(2).write.mode("overwrite").parquet(src)
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sketch_windowed(
+        stream, "value", [],
+        factory=lambda: UDDSketch(initial_alpha=_A, m=0),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: (sk.to_bytes(), sk.count),
+        finalize_schema=StructType([
+            StructField("state", BinaryType(), False),
+            StructField("n", LongType(), False),
+        ]),
+        ts_col="ts", window_seconds=86_400, watermark_seconds=60,
+    )
+    sink = f"stream_win_{uuid.uuid4().hex}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_wckpt_"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # two sentinel pushes: the watermark advances while processing a
+        # batch, so timeouts fire in the batch AFTER the advance
+        for days in (40, 41):
+            sent = [(10**9, max_ts + datetime.timedelta(days=days), 0,
+                     "sentinel", 1.0, "{}")]
+            spark.createDataFrame(sent, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finals = (spark.table(sink).where("final")
+                  .where(F.col("window_start") <= max_ts)  # drop sentinel windows
+                  .select("window_start", "state", "n").collect())
+    finally:
+        q.stop()
+
+    # batch reference: one keyed Arrow fill per day
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day")
+    batch_states = {
+        r["day"]: UDDSketch.from_bytes(r["state"])
+        for r in sketch_grouped(
+            ev.select(day, "value"), "value", ["day"],
+            lambda: UDDSketch(initial_alpha=_A, m=0), UDDSketch.from_bytes,
+        ).collect()
+    }
+    rows = []
+    for r in finals:
+        d = r.window_start.strftime("%Y-%m-%d")
+        sk = UDDSketch.from_bytes(r.state)
+        b = batch_states.get(d)
+        identical = b is not None and sk.same_buckets(b) and sk.count == b.count
+        for qq in (0.5, 0.99):
+            rows.append((d, float(qq), float(sk.quantile(qq)), int(sk.count),
+                         bool(identical)))
+    return spark.createDataFrame(
+        rows, "day string, q double, est double, n long, stream_batch_identical boolean"
+    )
+
+
+_STREAM_WIN_SQL = f"""
+WITH keyed AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(ceil(ln(value)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM events WHERE value >= 2.2250738585072014e-308
+),
+b AS (SELECT day, k, COUNT(*) AS c FROM keyed GROUP BY day, k),
+cum AS (SELECT day, k, SUM(c) OVER (PARTITION BY day ORDER BY k) AS cumc FROM b),
+nn AS (SELECT day, COUNT(*) AS n FROM keyed GROUP BY day),
+qs AS (SELECT * FROM (VALUES (0.5e0),(0.99e0)) AS t(q)),
+kq AS (
+  SELECT nn.day, qs.q, nn.n,
+         (SELECT MIN(k) FROM cum
+          WHERE cum.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT)
+            AND cum.day = nn.day) AS kq
+  FROM nn CROSS JOIN qs
+)
+SELECT kq.day AS day, kq.q AS q,
+       power({_G_SQL}, kq.kq) * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       kq.n AS n, TRUE AS stream_batch_identical
+FROM kq
+"""
+
+
 def _events_global_sketch(spark: SparkSession, sf_dir: str) -> "UDDSketch":
     """Batch global UDD over events.value via the JVM fill path."""
     import numpy as np
@@ -2200,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
+        "streaming_window_check": _streaming_window_check,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue_orders": _q3_top_revenue_orders,
         "events_type_stats": _events_type_stats,
@@ -2258,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,
+        "streaming_window_check": _STREAM_WIN_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_revenue_orders": _Q3_SQL,
         "events_type_stats": _EVENTS_SQL,
