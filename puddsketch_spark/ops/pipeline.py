@@ -4,7 +4,8 @@ keeps its scale properties (digest-only shuffles, bucketed LSH, pointer-
 jumping components, codegen'd scoring).
 
     normalize -> exact dedup (on normalized text) -> [minhash near-dup
-    dedup] -> quality filter
+    dedup] -> [corpus line dedup] -> [benchmark decontamination] ->
+    quality filter
 
 Returns the curated DataFrame plus a small stats dict (driver-side counts,
 one job per stage boundary) for pipeline reports.
@@ -30,6 +31,9 @@ def curate_documents(
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.9,
+    line_dedup_max_df: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
     with_stats: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Curate a document table; returns (curated_df, stats).
@@ -38,6 +42,12 @@ def curate_documents(
       byte-identical AND formatting-perturbed copies in one digest shuffle.
     * fuzzy stage (optional): minhash/LSH near-dups on the normalized text,
       connected components, min-id survivors.
+    * line-dedup stage (optional, ``line_dedup_max_df``): corpus-level
+      boilerplate removal — lines occurring in more than that many distinct
+      docs are stripped IN PLACE (text rewritten, broadcast-probe path).
+    * decontamination stage (optional, ``benchmark``): docs sharing any
+      word ``decontam_n``-gram with the benchmark set are dropped (Bloom
+      pre-filter + exact verify).
     * quality stage: heuristic score (length/alpha/word-length/symbol
       bands), keep score >= quality_threshold.
 
@@ -74,6 +84,34 @@ def curate_documents(
         release_cached(pairs)
     else:
         fuzzy_df = exact
+
+    if line_dedup_max_df is not None:
+        from .boilerplate import dedup_lines
+
+        cleaned = dedup_lines(
+            fuzzy_df, line_dedup_max_df, text_col=text_col, id_col=id_col
+        ).where(F.col("n_kept") > 0)
+        fuzzy_df = (
+            fuzzy_df.drop(text_col)
+            .join(
+                cleaned.select(id_col, F.col("clean_text").alias(text_col)),
+                id_col,
+            )
+        )
+        if with_stats:
+            stats["n_after_line_dedup"] = fuzzy_df.count()
+
+    if benchmark is not None:
+        from .decontam import flag_contaminated
+
+        flags = flag_contaminated(
+            fuzzy_df, benchmark, n=decontam_n, text_col=text_col,
+            id_col=id_col, method="bloom",
+        )
+        clean_ids = flags.where(~F.col("contaminated")).select(id_col)
+        fuzzy_df = fuzzy_df.join(clean_ids, id_col, "left_semi")
+        if with_stats:
+            stats["n_after_decontam"] = fuzzy_df.count()
 
     scored = with_quality_score(fuzzy_df, text_col)
     curated = scored.where(F.col("quality") >= quality_threshold).drop("_tnorm")

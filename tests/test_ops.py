@@ -723,3 +723,36 @@ def test_top_terms_tfidf(spark):
     assert r.tf == 3 and r.df == 1
     assert abs(r.weight - 3 * (math.log(4 / 2) + 1)) < 1e-12
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_curation_pipeline_line_dedup_and_decontam_stages(spark):
+    """Extended curation: boilerplate lines stripped in place, benchmark-
+    contaminated docs dropped, stats ledger covers every stage."""
+    from puddsketch_spark.ops.pipeline import curate_documents
+
+    boiler = "subscribe to our newsletter now"
+    good = ("a genuinely informative paragraph about distributed query "
+            "engines and their shuffle behavior at scale")
+    bench_text = "the secret benchmark passage that must never leak through"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n{good}"),
+            (2, f"{boiler}\nsecond document with plenty of readable and "
+                "meaningful words inside it for scoring"),
+            (3, f"{boiler}\nthird document also containing enough prose to "
+                "pass the quality screen easily"),
+            (4, f"leaky document quoting {bench_text} verbatim in full"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    curated, stats = curate_documents(
+        docs, quality_threshold=0.0, fuzzy=False,
+        line_dedup_max_df=2, benchmark=bench, decontam_n=5,
+    )
+    out = {r.doc_id: r.text for r in curated.collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 decontaminated away
+    assert boiler not in out[1] and out[1].startswith("a genuinely")
+    assert stats["n_after_line_dedup"] == 4
+    assert stats["n_after_decontam"] == 3
+    assert stats["n_curated"] == 3
