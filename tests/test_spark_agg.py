@@ -502,3 +502,28 @@ def test_checkpoint_default_rebuild_rejects_hive_partitions(spark, tmp_path):
     resume_partials(spark, part, "text_len", [], ckpt, _factory)
     with pytest.raises(ValueError, match="hive-partitioned"):
         resume_partials(spark, full, "text_len", [], ckpt, _factory)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join: identical rows to the plain join under a hot key (99%
+    of fact rows on one key), both inner and left, and each fact row
+    matched exactly once (no salt-induced duplication)."""
+    from puddsketch_spark.spark.skew import salted_join
+
+    rows = [(0 if j % 100 else j % 7 + 1, j, float(j)) for j in range(10_000)]
+    fact = spark.createDataFrame(rows, "k long, rid long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(6)], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(fact.join(dim, "k", how).collect())
+        salted = sorted(
+            salted_join(fact, dim, "k", salt_cols=["rid"], salt_buckets=8,
+                        how=how).collect()
+        )
+        assert salted == plain and len(plain) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, "k", salt_cols=["rid"], how="right")
