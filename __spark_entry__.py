@@ -646,13 +646,20 @@ def _theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     ops = theta_set_ops(orders, "o_custkey", cust, "c_custkey", k=4096)
 
-    ea = orders.select("o_custkey").distinct().count()
-    eb = cust.select("c_custkey").distinct().count()
-    einter = (
-        orders.select(F.col("o_custkey").alias("k"))
-        .intersect(cust.select(F.col("c_custkey").alias("k")))
-        .count()
+    # one job for all three exact counts: full outer join of the distinct
+    # key sets, then conditional counts
+    da = orders.select(F.col("o_custkey").alias("ka")).distinct()
+    db = cust.select(F.col("c_custkey").alias("kb")).distinct()
+    r = (
+        da.join(db, da.ka == db.kb, "full_outer")
+        .agg(
+            F.count("ka").alias("ea"),
+            F.count("kb").alias("eb"),
+            F.count(F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), 1)).alias("ei"),
+        )
+        .first()
     )
+    ea, eb, einter = r.ea, r.eb, r.ei
     exact = {
         "a": ea,
         "b": eb,
@@ -1626,16 +1633,16 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 def _decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any word 4-gram with the
-    'benchmark' slice (doc_id % 10 == 0) of the corpus, via the Bloom
-    pre-filter path (distributed Bloom fill over benchmark grams, broadcast
-    Arrow probe, exact broadcast-join verify of candidates only) — the
-    count is exact, so DuckDB replays it with a plain gram join."""
+    'benchmark' slice (doc_id % 10 == 0) of the corpus, via the broadcast
+    gram join (single doc pass; the Bloom pre-filter path exists for gram
+    sets too big to broadcast exactly and is pinned result-identical in
+    tests/test_ops.py). DuckDB replays the count with a plain gram join."""
     from puddsketch_spark.ops.decontam import flag_contaminated
 
     d = _t(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 10 == 0)
     docs = d.where(F.col("doc_id") % 10 != 0)
-    flagged = flag_contaminated(docs, bench, n=4, method="bloom", bloom_fpr=0.001)
+    flagged = flag_contaminated(docs, bench, n=4, method="join")
     return flagged.where("contaminated").select("doc_id", "n_hit_grams")
 
 

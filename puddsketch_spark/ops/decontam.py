@@ -7,17 +7,20 @@ PaLM 13-gram protocol family — here the n is a parameter).
 Scale shape (100 TB corpus, MB-scale benchmark):
   * The benchmark side is SMALL by definition (eval sets are thousands of
     documents) — its distinct-gram set broadcasts.
-  * ``method="join"``: docs explode per-doc-distinct grams and broadcast-join
-    the benchmark grams. No shuffle of document text; the only shuffle is the
-    per-doc hit-count aggregation, which carries (id, count) rows for hit
-    docs only.
-  * ``method="bloom"``: the benchmark grams fill a Bloom filter (via the
-    library's own mergeable-UDAF fill, so the filter is built distributed),
-    the filter bytes broadcast into an Arrow-vectorized probe over the doc
-    grams — one scan, ZERO shuffle — and only Bloom-candidate docs (no false
-    negatives, tunable FP rate) enter the exact broadcast-join verify. At
-    contamination rates of ~1% this removes ~99% of the join input.
-Both methods return identical exact results; bloom is the scan-bound path.
+  * ``method="join"`` (default fast path): docs explode per-doc-distinct
+    grams and broadcast-join the benchmark grams. No shuffle of document
+    text; the only shuffle is the per-doc hit-count aggregation, which
+    carries (id, count) rows for hit docs only.
+  * ``method="bloom"``: for benchmark gram sets too large to broadcast as
+    an exact hash join (~10^8+ grams: a Bloom at 0.1% fpr is ~14x smaller
+    than the string set) — the grams fill a Bloom filter via the library's
+    distributed mergeable fill, the filter bytes broadcast into an
+    Arrow-vectorized probe over the doc grams, and only Bloom-candidate
+    docs (no false negatives) enter the exact verify, so the big hash join
+    touches the ~contaminated fraction of the corpus only. When the gram
+    set DOES broadcast exactly, the plain join is strictly cheaper (one
+    doc pass instead of two) — measured 3x at sf0.1.
+Both methods return identical exact results.
 """
 
 from __future__ import annotations
@@ -83,7 +86,9 @@ def flag_contaminated(
     zero false negatives, survivors re-verified by the exact join).
     """
     bench_text_col = bench_text_col or text_col
-    bgrams = benchmark_grams(bench, n=n, text_col=bench_text_col)
+    # the benchmark gram universe feeds up to three consumers (count, Bloom
+    # fill, exact-verify join) — persist so the explode+distinct runs once
+    bgrams = benchmark_grams(bench, n=n, text_col=bench_text_col).persist()
     doc_grams = docs.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
     )
@@ -94,8 +99,10 @@ def flag_contaminated(
 
         n_grams = bgrams.count()
         num_bits, num_hashes = optimal_params(max(n_grams, 64), fpr=bloom_fpr)
+        # the benchmark gram table is small by definition — a handful of fill
+        # partitions beats 32 tiny Arrow partials + 32 filter blobs
         bf = sketch_global(
-            bgrams,
+            bgrams.coalesce(8),
             "gram",
             lambda: BloomFilter(num_bits=num_bits, num_hashes=num_hashes),
             BloomFilter.from_bytes,

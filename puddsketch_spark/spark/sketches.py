@@ -92,8 +92,26 @@ def theta_set_ops(
     theta sketches. The two sketch fills are independent Spark jobs; each
     shuffles only (k * 8)-byte key blobs, never the columns themselves.
     """
-    sa = theta_global(df_a, col_a, k=k)
-    sb = theta_global(df_b, col_b, k=k)
+    type_a = dict(df_a.dtypes)[col_a]
+    type_b = dict(df_b.dtypes)[col_b]
+    if type_a == type_b:
+        # same key type: ONE tagged scan+fill job for both sides instead of
+        # two (the hash-family agg keeps per-side states separate by group)
+        tagged = (
+            df_a.select(F.col(col_a).alias("_v"), F.lit("a").alias("_side"))
+            .unionByName(df_b.select(F.col(col_b).alias("_v"), F.lit("b").alias("_side")))
+        )
+        states = {
+            r["_side"]: ThetaSketch.from_bytes(r["state"])
+            for r in sketch_grouped(
+                tagged, "_v", ["_side"], lambda: ThetaSketch(k=k), ThetaSketch.from_bytes
+            ).collect()
+        }
+        sa = states.get("a", ThetaSketch(k=k))
+        sb = states.get("b", ThetaSketch(k=k))
+    else:
+        sa = theta_global(df_a, col_a, k=k)
+        sb = theta_global(df_b, col_b, k=k)
     union = ThetaSketch.union(sa, sb)
     inter = ThetaSketch.intersect(sa, sb)
     u = union.estimate()
