@@ -147,3 +147,45 @@ def test_bfd_packing_invariants(toks, budget, batches):
     assert len(small_packs) <= (2 * small_tok) // budget + 1
     # all bins indices are dense-ish and unique per opening
     assert state.n_bins == len(sums) or toks.size == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=st.lists(st.integers(0, 5000), min_size=0, max_size=400).map(np.array),
+       b=st.lists(st.integers(0, 5000), min_size=0, max_size=400).map(np.array),
+       c=st.lists(st.integers(0, 5000), min_size=0, max_size=400).map(np.array),
+       k=st.sampled_from([16, 64]))
+def test_theta_merge_commutative_associative(a, b, c, k):
+    from puddsketch_spark.core import ThetaSketch
+
+    sa = ThetaSketch(k=k).update(a.astype(np.int64))
+    sb = ThetaSketch(k=k).update(b.astype(np.int64))
+    sc = ThetaSketch(k=k).update(c.astype(np.int64))
+    ab = ThetaSketch.from_bytes(sa.to_bytes()).merge(sb)
+    ba = ThetaSketch.from_bytes(sb.to_bytes()).merge(sa)
+    assert ab.same_buckets(ba)
+    left = ThetaSketch.from_bytes(ab.to_bytes()).merge(sc)
+    right = ThetaSketch.from_bytes(sa.to_bytes()).merge(
+        ThetaSketch.from_bytes(sb.to_bytes()).merge(sc))
+    assert left.same_buckets(right)
+    # exact mode is exact
+    if left.is_exact:
+        assert left.estimate() == len(set(a) | set(b) | set(c))
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=arr_any, b=arr_any)
+def test_moments_merge_commutative_and_conserving(a, b):
+    from puddsketch_spark.core import MomentsSketch
+
+    sa = MomentsSketch().update(a)
+    sb = MomentsSketch().update(b)
+    ab = MomentsSketch.from_bytes(sa.to_bytes()).merge(sb)
+    ba = MomentsSketch.from_bytes(sb.to_bytes()).merge(sa)
+    assert ab.n == ba.n == len(a) + len(b)
+    both = np.concatenate([a, b])
+    if both.size:
+        assert ab.vmin == both.min() and ab.vmax == both.max()
+        assert abs(ab.mean - ba.mean) <= 1e-9 * max(1.0, abs(ab.mean))
+        whole = MomentsSketch().update(both)
+        scale = max(1.0, abs(whole.m2))
+        assert abs(ab.m2 - whole.m2) <= 1e-6 * scale
