@@ -165,13 +165,38 @@ def moments_stats(
     merged = sketch_grouped(
         df, value_col, group_cols, MomentsSketch, MomentsSketch.from_bytes
     )
+    return moments_table(merged, group_cols)
+
+
+def moments_table(merged: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Finalize a merged moments STATE table (group..., state) into the
+    stats table — the piece CLI state rollups reuse without rescanning."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..core.moments import MomentsSketch
+
+    stat_fields = [
+        StructField("n", LongType(), False),
+        StructField("mean", DoubleType(), True),
+        StructField("variance", DoubleType(), True),
+        StructField("stddev", DoubleType(), True),
+        StructField("skewness", DoubleType(), True),
+        StructField("kurtosis", DoubleType(), True),
+        StructField("vmin", DoubleType(), True),
+        StructField("vmax", DoubleType(), True),
+    ]
     group_fields = [f for f in merged.schema.fields if f.name in group_cols]
     schema = StructType(group_fields + stat_fields)
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = MomentsSketch.from_bytes(pdf["state"].iloc[0])
         key = tuple(pdf[g].iloc[0] for g in group_cols)
-        return pd.DataFrame([key + rows_of(sk)], columns=[f.name for f in schema.fields])
+        row = key + (
+            int(sk.n), float(sk.mean), float(sk.variance()), float(sk.stddev()),
+            float(sk.skewness()), float(sk.kurtosis()), float(sk.vmin),
+            float(sk.vmax),
+        )
+        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
     return merged.groupBy(*group_cols).applyInPandas(finalize, schema=schema)
 

@@ -39,7 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--max-buckets", type=int, default=200)
     p.add_argument("--engine", choices=["jvm", "arrow"], default="jvm")
-    p.add_argument("--sketch", choices=["udds", "dd", "kll", "tdigest"], default="udds")
+    p.add_argument("--sketch", choices=["udds", "dd", "kll", "tdigest", "moments"],
+                   default="udds",
+                   help="moments = exact mergeable mean/var/skew/kurtosis "
+                        "(emits a stats table; --quantiles ignored)")
     # the reference's compile-time variants as runtime flags:
     # -DLowBins/-DHighBins (ParallelDDSketch/Makefile:46-47) -> --collapse-mode
     p.add_argument("--collapse-mode", choices=["uniform", "ddog_low", "ddog_high"],
@@ -106,8 +109,10 @@ def main(argv=None) -> int:
         from puddsketch_spark.core import DDSketchPair
         from puddsketch_spark.spark.agg import rollup_states
 
+        from puddsketch_spark.core import MomentsSketch
+
         fb = {"udds": UDDSketch, "kll": KLLSketch, "tdigest": TDigest,
-              "dd": DDSketchPair}[args.sketch].from_bytes
+              "dd": DDSketchPair, "moments": MomentsSketch}[args.sketch].from_bytes
         states = spark.read.parquet(args.from_states)
         group = list(args.group_by)
         # fail fast with actionable messages instead of an opaque
@@ -129,7 +134,21 @@ def main(argv=None) -> int:
                     f"state table {args.from_states} was saved with "
                     f"--sketch {stored_kernel}, not --sketch {args.sketch}; "
                     "blobs are not interchangeable between kernels")
-        if group:
+        if args.sketch == "moments":
+            from puddsketch_spark.spark.sketches import moments_table
+
+            if group:
+                out = moments_table(rollup_states(states, group, fb), group)
+            else:
+                sk = rollup_states(states, (), fb)
+                out = spark.createDataFrame(
+                    [(int(sk.n), float(sk.mean), float(sk.variance()),
+                      float(sk.stddev()), float(sk.skewness()),
+                      float(sk.kurtosis()), float(sk.vmin), float(sk.vmax))],
+                    "n long, mean double, variance double, stddev double, "
+                    "skewness double, kurtosis double, vmin double, vmax double",
+                )
+        elif group:
             out = quantile_table(rollup_states(states, group, fb),
                                  group, args.quantiles, fb, extra_cols=["n"])
         else:
@@ -198,6 +217,25 @@ def main(argv=None) -> int:
                                  args.alpha, args.max_buckets,
                                  engine="jvm" if args.engine == "jvm" else "python",
                                  pre_aggregate=args.pre_aggregate)
+    elif args.sketch == "moments":
+        from puddsketch_spark.core import MomentsSketch
+        from puddsketch_spark.spark.agg import sketch_global
+        from puddsketch_spark.spark.sketches import moments_stats, moments_table
+
+        if group:
+            if args.checkpoint:
+                from puddsketch_spark.spark.checkpoint import checkpointed_sketch_grouped
+
+                merged = checkpointed_sketch_grouped(
+                    spark, df, args.feature, group, args.checkpoint,
+                    MomentsSketch, MomentsSketch.from_bytes)
+            else:
+                merged = sketch_grouped(df, args.feature, group, MomentsSketch,
+                                        MomentsSketch.from_bytes,
+                                        pre_aggregate=args.pre_aggregate)
+            out = moments_table(merged, group)
+        else:
+            out = moments_stats(df, args.feature, ())
     else:
         factory = (lambda: KLLSketch(k=200)) if args.sketch == "kll" else (lambda: TDigest())
         from_bytes = KLLSketch.from_bytes if args.sketch == "kll" else TDigest.from_bytes
@@ -213,8 +251,8 @@ def main(argv=None) -> int:
 
     if args.save_states:
         if merged is None:
-            raise SystemExit("--save-states needs a grouped udds/kll/tdigest "
-                             "run (this path produces no state table)")
+            raise SystemExit("--save-states needs a grouped udds/kll/tdigest/"
+                             "moments run (this path produces no state table)")
         # persist so the state write and the quantile finalize share one fill
         merged = merged.persist()
         # tag the table with its kernel (a constant column RLE-compresses
