@@ -125,3 +125,27 @@ def test_asof_bad_direction_raises(spark):
     trades, quotes = _toy(spark)
     with pytest.raises(ValueError, match="direction"):
         asof_join(trades, quotes, on="ts", by=["sym"], direction="nearest")
+
+
+def test_asof_global_and_composite_keys(spark):
+    """by=() joins globally; two by-columns partition independently."""
+    left = spark.createDataFrame(
+        [(10, "l1"), (3, "l2")], "ts long, lid string"
+    )
+    right = spark.createDataFrame([(5, 1.0), (9, 2.0)], "ts long, px double")
+    got = {r.lid: r.px for r in asof_join(left, right, on="ts").collect()}
+    assert got == {"l1": 2.0, "l2": None}
+
+    left2 = spark.createDataFrame(
+        [("a", "x", 10, "l1"), ("a", "y", 10, "l2"), ("b", "x", 10, "l3")],
+        "g1 string, g2 string, ts long, lid string",
+    )
+    right2 = spark.createDataFrame(
+        [("a", "x", 4, 1.0), ("a", "y", 5, 2.0), ("b", "z", 6, 3.0)],
+        "g1 string, g2 string, ts long, px double",
+    )
+    got = {
+        r.lid: r.px
+        for r in asof_join(left2, right2, on="ts", by=["g1", "g2"]).collect()
+    }
+    assert got == {"l1": 1.0, "l2": 2.0, "l3": None}

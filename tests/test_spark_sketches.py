@@ -169,3 +169,29 @@ def test_theta_pre_aggregate_bucket_identical(spark):
     pre = sketch_global(df, "v", lambda: ThetaSketch(k=128), ThetaSketch.from_bytes,
                         pre_aggregate=True)
     assert row.same_buckets(pre)
+
+
+def test_theta_grouped_states_and_cross_group_set_ops(spark):
+    """theta_states per group; driver-side set algebra ACROSS group states
+    (distinct convs per role, user∩tool-user overlap) matches exact."""
+    from puddsketch_spark.core import ThetaSketch
+    from puddsketch_spark.spark.sketches import theta_states
+
+    t = transcripts(spark, n_conv=2_000, avg_turns=6, seed=11).cache()
+    states = {
+        r.role: ThetaSketch.from_bytes(r.state)
+        for r in theta_states(t, "conv_id", ["role"], k=1024).collect()
+    }
+    exact = {
+        r.role: r.x
+        for r in t.groupBy("role").agg(F.count_distinct("conv_id").alias("x")).collect()
+    }
+    for role, x in exact.items():
+        est = states[role].estimate()
+        assert abs(est - x) <= 5 * np.sqrt(max(x, 1) * x / 1024) + 1, (role, est, x)
+    inter = ThetaSketch.intersect(states["user"], states["assistant"]).estimate()
+    ex_inter = (
+        t.where("role = 'user'").select("conv_id")
+        .intersect(t.where("role = 'assistant'").select("conv_id")).count()
+    )
+    assert abs(inter - ex_inter) <= 5 * np.sqrt(max(ex_inter, 1) * 2000 / 1024) + 1
