@@ -131,6 +131,7 @@ def streaming_sketch_windowed(
     ts_col: str = "ts",
     window_seconds: int = 600,
     watermark_seconds: int = 600,
+    slide_seconds: int | None = None,
 ):
     """Event-time windowed sketch aggregation with watermark-driven state
     eviction.
@@ -142,17 +143,27 @@ def streaming_sketch_windowed(
     the window's EventTimeTimeout fires: the final row is emitted with
     final=true and the state is dropped, so total state is bounded by the
     number of in-flight windows x groups, not by stream length.
+
+    ``slide_seconds`` < window_seconds makes the windows SLIDING: Catalyst's
+    TimeWindow expands each row to every containing window (one Expand, no
+    UDF), so a row updates window/slide overlapping sketches and each
+    window still finalizes independently at its own horizon. Default (None)
+    is tumbling.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType, TimestampType
 
     group_cols = list(group_cols)
+    if slide_seconds is not None and window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    win = F.window(
+        F.col(ts_col),
+        f"{window_seconds} seconds",
+        f"{slide_seconds or window_seconds} seconds",
+    )
     src = (
         stream_df.withWatermark(ts_col, f"{watermark_seconds} seconds")
-        .withColumn(
-            "window_start",
-            F.window(F.col(ts_col), f"{window_seconds} seconds")["start"],
-        )
+        .withColumn("window_start", win["start"])
     )
     out_schema = StructType(
         [StructField("window_start", TimestampType(), True)]

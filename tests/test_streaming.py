@@ -282,3 +282,63 @@ def test_streaming_states_feed_batch_rollup(spark, tmp_path):
         np.array([v for _, v in rows]))
     assert g.same_buckets(batch)
     assert g.count == len(rows)
+
+
+def test_sliding_windows_overlap_and_finalize(spark, tmp_path):
+    """slide < window: each row lands in window/slide overlapping windows;
+    every finalized sliding window's count matches a batch recount of its
+    [start, start+window) range."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from puddsketch_spark.streaming import streaming_sketch_windowed
+
+    src = str(tmp_path / "slsrc")
+    ckpt = str(tmp_path / "slckpt")
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    schema = "role string, text_len double, ts timestamp"
+    rows = [
+        ("user", float(v), t0 + timedelta(minutes=m, seconds=v % 50))
+        for m in (0, 4, 7, 12) for v in range(1, 41)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sketch_windowed(
+        stream, "text_len", ["role"],
+        factory=lambda: UDDSketch(initial_alpha=0.01, m=0),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: (sk.count,),
+        finalize_schema=StructType([StructField("n", LongType(), False)]),
+        ts_col="ts", window_seconds=600, watermark_seconds=60,
+        slide_seconds=300,
+    )
+    q = (out.writeStream.format("memory").queryName("slide_out")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        for m in (60, 75):  # push the watermark past every real window
+            spark.createDataFrame(
+                [("user", 1.0, t0 + timedelta(minutes=m))], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finals = {
+            r.window_start: r.n
+            for r in spark.sql(
+                "select * from slide_out where final"
+            ).collect()
+            if r.window_start < t0 + timedelta(minutes=30)
+        }
+    finally:
+        q.stop()
+    # batch recount per sliding range
+    batch = spark.createDataFrame(rows, schema)
+    for start, n in finals.items():
+        end = start + timedelta(seconds=600)
+        expect = batch.where(
+            (F.col("ts") >= start) & (F.col("ts") < end)
+        ).count()
+        assert n == expect, (start, n, expect)
+    # minute-0 rows (12:00:00-12:00:50) belong to both the 11:55 and 12:00
+    # windows -> those two finals overlap-count them
+    assert len(finals) >= 4
