@@ -1375,6 +1375,40 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join driver query: events joined to OVERLAPPING value
+    bands (a point can match several intervals), aggregated per band. The
+    operator grids the domain so the range predicate becomes an equi-join
+    on buckets + exact filter (tests/test_joins.py cross-checks the pair
+    set against DuckDB's BETWEEN join); the oracle here replays the plain
+    BETWEEN join."""
+    from puddsketch_spark.ops.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 25.0, 100.0), ("high", 75.0, 250.0),
+         ("all", 0.0, 250.0)],
+        "band string, start double, end double",
+    )
+    joined = range_join(ev.select("event_id", "value"), bands, "value",
+                        bucket_width=25.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_RANGEJOIN_SQL = """
+WITH bands(band, bstart, bend) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 25.0, 100.0), ('high', 75.0, 250.0),
+         ('all', 0.0, 250.0)
+)
+SELECT band, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+FROM events JOIN bands ON value >= bstart AND value < bend
+GROUP BY band
+"""
+
+
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document characteristic terms by smoothed tf-idf (top-3, ties
     broken by term). One explode + two hash aggs + broadcast vocabulary +
@@ -2350,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_price_by_flag": _moments_price_by_flag,
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
         "tfidf_top_terms": _tfidf_top_terms,
+        "range_join_value_bands": _range_join_value_bands,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2409,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "moments_price_by_flag": _MOMENTS_SQL,
         "bloom_join_lineitem_parts": _BLOOMJOIN_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
+        "range_join_value_bands": _RANGEJOIN_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..core.bloom import BloomFilter, optimal_params
 
-__all__ = ["bloom_key_filter", "bloom_probe", "bloom_filtered_join"]
+__all__ = ["bloom_key_filter", "bloom_probe", "bloom_filtered_join", "range_join"]
 
 
 def bloom_key_filter(
@@ -96,3 +96,76 @@ def bloom_filtered_join(
     filt = bloom_key_filter(dim, dim_key or key, fpr=fpr)
     thinned = bloom_probe(fact, key, filt)
     return thinned.join(dim, on, how)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    by: Sequence[str] = (),
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: every (point row, interval row) pair with
+    ``start <= point < end`` (plus ``by`` equality keys).
+
+    Spark plans a naive range predicate as a broadcast-nested-loop or
+    cartesian product — O(|P| x |I|) per key. This operator grids the value
+    domain: each interval explodes to the buckets it covers, each point
+    belongs to exactly ONE bucket, and the join becomes an equi-join on
+    (by..., bucket) + an exact containment filter. Because a point has one
+    bucket, no dedup is needed. Cost: intervals replicate by
+    ceil(length/bucket_width)+1 (choose bucket_width ~ the typical interval
+    length; default = the mean interval length, one tiny agg job), points
+    never replicate, and the shuffle is a plain hash exchange.
+
+    ``how``: "inner" or "left" (left also keeps point rows with no covering
+    interval, interval columns NULL).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports inner/left joins only")
+    by = list(by)
+    if bucket_width is None:
+        row = intervals.agg(
+            F.avg(F.col(end_col) - F.col(start_col)).alias("w")
+        ).first()
+        bucket_width = float(row["w"]) if row["w"] else 1.0
+        if bucket_width <= 0:
+            bucket_width = 1.0
+    w = float(bucket_width)
+
+    # an interval whose exclusive end falls exactly on a bucket boundary
+    # replicates into one extra bucket; the exact containment filter drops
+    # those rows, so correctness is unaffected
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", F.floor(F.col(point_col) / w).cast("long"))
+    cond = [pt["_bucket"] == iv["_bucket"]] + [pt[c] == iv[c] for c in by]
+    joined = pt.join(iv, cond, "inner").where(
+        (pt[point_col] >= iv[start_col]) & (pt[point_col] < iv[end_col])
+    )
+    iv_payload = [c for c in intervals.columns if c not in by]
+    out = joined.select(
+        *[pt[c] for c in points.columns],
+        *[iv[c].alias(c if c not in points.columns else c + "_iv")
+          for c in iv_payload],
+    )
+    if how == "left":
+        matched_keys = out.select(*[F.col(c) for c in points.columns]).distinct()
+        unmatched = points.join(matched_keys, points.columns, "left_anti")
+        for c in iv_payload:
+            name = c if c not in points.columns else c + "_iv"
+            unmatched = unmatched.withColumn(
+                name, F.lit(None).cast(dict(out.dtypes)[name])
+            )
+        out = out.unionByName(unmatched)
+    return out

@@ -57,3 +57,52 @@ def test_bloom_join_rejects_outer(spark):
     fact, dim = _tables(spark)
     with pytest.raises(ValueError, match="inner/semi"):
         bloom_filtered_join(fact, dim, "k", how="left")
+
+
+def test_range_join_vs_duckdb_between(spark):
+    """Randomized cross-check of the bucketed range join against a plain
+    DuckDB BETWEEN join (overlapping intervals, multi-match, by-key)."""
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    pts = pd.DataFrame({
+        "g": rng.integers(0, 4, 500),
+        "v": np.round(rng.uniform(0, 100, 500), 3),
+        "pid": np.arange(500),
+    })
+    starts = np.round(rng.uniform(0, 95, 80), 3)
+    ivs = pd.DataFrame({
+        "g": rng.integers(0, 4, 80),
+        "start": starts,
+        "end": np.round(starts + rng.uniform(0.5, 20, 80), 3),
+        "iid": np.arange(80),
+    })
+    from puddsketch_spark.ops.joins import range_join
+
+    out = range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        point_col="v", by=["g"],
+    )
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("i", ivs)
+    exp = sorted(con.sql(
+        "SELECT pid, iid FROM p JOIN i ON p.g = i.g AND p.v >= i.start AND p.v < i.end"
+    ).fetchall())
+    assert got == exp and len(exp) > 100
+
+
+def test_range_join_left_and_bucket_widths(spark):
+    from puddsketch_spark.ops.joins import range_join
+
+    pts = spark.createDataFrame([(5.0, 1), (50.0, 2)], "v double, pid long")
+    ivs = spark.createDataFrame([(0.0, 10.0, 7)], "start double, end double, iid long")
+    for w in (None, 1.0, 100.0):  # auto, fine, coarse grids agree
+        out = {r.pid: r.iid for r in
+               range_join(pts, ivs, "v", bucket_width=w, how="left").collect()}
+        assert out == {1: 7, 2: None}
+    # exclusive end
+    edge = spark.createDataFrame([(10.0, 3)], "v double, pid long")
+    assert range_join(edge, ivs, "v").count() == 0
