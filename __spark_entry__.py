@@ -1375,6 +1375,68 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def _profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE-style table profile from the sketch family in a constant
+    number of jobs (one null-count agg + three stacked grouped fills:
+    moments, theta, Misra-Gries). Exact fields (n, nulls, numeric
+    min/max/mean) are oracle-replayed directly; the theta distinct estimate
+    is flag-checked against the exact count with the sqrt(n/theta) error
+    model (exact-mode, hence integer-exact, at sf0.01 cardinalities)."""
+    import math
+
+    from puddsketch_spark.ops.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value"]
+    prof = profile_table(ev, cols, theta_k=8192)
+
+    exact = ev.agg(
+        *[F.count_distinct(c).alias(c) for c in cols]
+    ).first()
+
+    def ok(r) -> bool:
+        x = exact[r.column]
+        if r.distinct_exact_mode:
+            return r.distinct_est == float(x)
+        # estimation mode: theta_frac ~ k/x  =>  std ~ sqrt(x/theta) = x/sqrt(k)
+        return abs(r.distinct_est - x) <= 6.0 * x / math.sqrt(8192) + 1
+
+    rows = [
+        (
+            r.column, r.n, r.n_null, int(exact[r.column]), bool(ok(r)),
+            round(r.mean, 4) if r.mean is not None else None,
+            r.vmin, r.vmax,
+        )
+        for r in prof.collect()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n long, n_null long, exact_distinct long, "
+        "distinct_ok boolean, mean_4 double, vmin double, vmax double",
+    )
+
+
+_PROFILE_SQL = """
+SELECT 'user_id' AS column, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS distinct_ok,
+       round(AVG(user_id), 4) AS mean_4,
+       CAST(MIN(user_id) AS DOUBLE) AS vmin, CAST(MAX(user_id) AS DOUBLE) AS vmax
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT event_type), TRUE, NULL, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT value), TRUE, round(AVG(value), 4),
+       MIN(value), MAX(value)
+FROM events
+"""
+
+
 def _range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join driver query: events joined to OVERLAPPING value
     bands (a point can match several intervals), aggregated per band. The
@@ -2385,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
         "tfidf_top_terms": _tfidf_top_terms,
         "range_join_value_bands": _range_join_value_bands,
+        "profile_events_table": _profile_events_table,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "doc_quality_stats": _doc_quality_stats,
         "lang_id_agreement": _lang_id_agreement,
@@ -2445,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_lineitem_parts": _BLOOMJOIN_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "range_join_value_bands": _RANGEJOIN_SQL,
+        "profile_events_table": _PROFILE_SQL,
         "cosine_topk_embeddings": _TOPK_SQL,
         "doc_quality_stats": _QUALITY_SQL,
         "lang_id_agreement": _lang_sql(),

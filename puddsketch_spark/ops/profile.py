@@ -1,0 +1,135 @@
+"""One-call table profiling (DuckDB SUMMARIZE-style) from the sketch family.
+
+``profile_table`` returns one row per column — count, nulls, distinct
+estimate, numeric shape stats, top value — computed in a CONSTANT number of
+jobs regardless of column count:
+
+  1. one Tungsten agg for count + per-column null counts,
+  2. one stacked scan -> grouped moments states (all numeric columns share
+     a single (feature, value) relation, so one Arrow fill pass),
+  3. one stacked scan -> grouped theta states (distinct estimates for every
+     column, values stringified),
+  4. one stacked scan -> grouped Misra-Gries states (top value per column).
+
+At 100 TB this is the difference between profiling being "4 scans" and
+"4 x n_columns scans"; every shuffle carries fixed-size sketch blobs. The
+distinct estimate is EXACT whenever a column's cardinality sits below the
+theta k (exact mode), and the top-value frequency is the MG lower bound
+with its error bar.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["profile_table"]
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "double", "float", "decimal")
+
+
+def _stack(df: DataFrame, cols: Sequence[str], value_expr) -> DataFrame:
+    """(feature, v) relation: all columns through one scan."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"), value_expr(c).alias("v")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.feature", "s.v")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    theta_k: int = 4096,
+    mg_k: int = 64,
+) -> DataFrame:
+    """DataFrame[column, dtype, n, n_null, distinct_est, distinct_exact_mode,
+    mean, stddev, vmin, vmax, top_value, top_freq_lo, top_freq_err] —
+    sorted by column name. Numeric-only fields are NULL for other dtypes."""
+    from ..core.heavyhitters import MisraGries
+    from ..core.moments import MomentsSketch
+    from ..core.theta import ThetaSketch
+    from ..spark.agg import sketch_grouped
+
+    cols = list(columns or df.columns)
+    dtypes = dict(df.dtypes)
+    numeric = [c for c in cols if dtypes[c].startswith(_NUMERIC_PREFIXES)]
+
+    # job 1: count + nulls (single Tungsten agg)
+    counts = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols],
+    ).first()
+    n_total = counts["_n"]
+
+    # job 2: numeric moments, one stacked fill
+    moments = {}
+    if numeric:
+        stacked = _stack(df, numeric, lambda c: F.col(c).cast("double"))
+        moments = {
+            r["feature"]: MomentsSketch.from_bytes(r["state"])
+            for r in sketch_grouped(
+                stacked, "v", ["feature"], MomentsSketch, MomentsSketch.from_bytes
+            ).collect()
+        }
+
+    # jobs 3+4: distinct + top value over stringified columns, stacked fills
+    sstacked = _stack(df, cols, lambda c: F.col(c).cast("string"))
+    thetas = {
+        r["feature"]: ThetaSketch.from_bytes(r["state"])
+        for r in sketch_grouped(
+            sstacked, "v", ["feature"],
+            lambda: ThetaSketch(k=theta_k), ThetaSketch.from_bytes,
+        ).collect()
+    }
+    mgs = {
+        r["feature"]: MisraGries.from_bytes(r["state"])
+        for r in sketch_grouped(
+            sstacked, "v", ["feature"],
+            lambda: MisraGries(k=mg_k), MisraGries.from_bytes,
+        ).collect()
+    }
+
+    rows = []
+    for c in sorted(cols):
+        sk_m = moments.get(c)
+        th = thetas.get(c)
+        mg = mgs.get(c)
+        top_val, top_lo = None, None
+        if mg is not None and mg.counters:
+            # deterministic: max lower-bound count, ties by value
+            top_val, top_lo = max(
+                mg.counters.items(), key=lambda kv: (kv[1], str(kv[0]))
+            )
+            top_val = str(top_val)
+        rows.append(
+            (
+                c,
+                dtypes[c],
+                int(n_total),
+                int(counts[c]),
+                float(th.estimate()) if th is not None else 0.0,
+                bool(th.is_exact) if th is not None else True,
+                float(sk_m.mean) if sk_m is not None and sk_m.n else None,
+                float(sk_m.stddev()) if sk_m is not None and sk_m.n else None,
+                float(sk_m.vmin) if sk_m is not None and sk_m.n else None,
+                float(sk_m.vmax) if sk_m is not None and sk_m.n else None,
+                top_val,
+                int(top_lo) if top_lo is not None else None,
+                int(mg.err) if mg is not None else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, dtype string, n long, n_null long, distinct_est double, "
+        "distinct_exact_mode boolean, mean double, stddev double, vmin double, "
+        "vmax double, top_value string, top_freq_lo long, top_freq_err long",
+    )

@@ -756,3 +756,29 @@ def test_curation_pipeline_line_dedup_and_decontam_stages(spark):
     assert stats["n_after_line_dedup"] == 4
     assert stats["n_after_decontam"] == 3
     assert stats["n_curated"] == 3
+
+
+def test_profile_table_summarize(spark):
+    """Constant-job table profile: exact counts/nulls, exact-mode distinct
+    below theta k, numeric moments match, top value via MG."""
+    from puddsketch_spark.ops.profile import profile_table
+
+    rows = [
+        (1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a"),
+        (4, None, "a"), (5, 40.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, cat string")
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "v", "cat"}
+    assert prof["id"].n == 5 and prof["id"].n_null == 0
+    assert prof["v"].n_null == 1 and prof["cat"].n_null == 1
+    # exact-mode distinct (cardinality << k): nulls excluded
+    assert prof["id"].distinct_exact_mode and prof["id"].distinct_est == 5.0
+    assert prof["v"].distinct_est == 4.0
+    assert prof["cat"].distinct_est == 2.0
+    # numeric stats over non-null values
+    assert prof["v"].mean == 25.0 and prof["v"].vmin == 10.0 and prof["v"].vmax == 40.0
+    assert prof["cat"].mean is None  # non-numeric
+    # top value
+    assert prof["cat"].top_value == "a" and prof["cat"].top_freq_lo == 3
+    assert prof["cat"].top_freq_err == 0  # k=64 >> cardinality: exact counts
