@@ -76,6 +76,38 @@ def _udds_quantile_protocol99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, est double, n long")
 
 
+def _udds_rank_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-quantile (rank/CDF) queries from the global UDD sketch:
+    rank_of(v) = zero_count + sum of bucket counts with key <= key(v) —
+    bucket-granular, so the SQL oracle replays it BIT-EXACTLY by counting
+    rows whose bucket key is <= ceil(ln(v)/ln(gamma))."""
+    sk = _udds_global_sketch(spark, sf_dir)
+    probes = [1000.0, 5000.0, 20000.0, 60000.0, 100000.0]
+    rows = [
+        (float(v), int(sk.rank_of(v)), round(float(sk.cdf(v)), 8), int(sk.count))
+        for v in probes
+    ]
+    return spark.createDataFrame(rows, "v double, rank_est long, cdf double, n long")
+
+
+_CDF_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+),
+nn AS (SELECT COUNT(*) AS n FROM keyed),
+probes(v) AS (VALUES (1000.0e0),(5000.0e0),(20000.0e0),(60000.0e0),(100000.0e0))
+SELECT probes.v AS v,
+       (SELECT COUNT(*) FROM keyed
+        WHERE k <= CAST(ceil(ln(probes.v)/ln({_G_SQL})) AS BIGINT)) AS rank_est,
+       round((SELECT COUNT(*) FROM keyed
+              WHERE k <= CAST(ceil(ln(probes.v)/ln({_G_SQL})) AS BIGINT))
+             * 1.0e0 / nn.n, 8) AS cdf,
+       nn.n AS n
+FROM probes CROSS JOIN nn
+"""
+
+
 def _udds_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puddsketch_spark.core import UDDSketch
     from puddsketch_spark.spark.agg import quantile_table, sketch_grouped_jvm
@@ -2409,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udds_quantile_global": _udds_global,
         "udds_quantile_by_flag": _udds_by_flag,
         "udds_quantile_protocol99": _udds_quantile_protocol99,
+        "udds_rank_cdf": _udds_rank_cdf,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2470,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_quantile_global": _udds_oracle(None),
         "udds_quantile_by_flag": _udds_oracle("l_returnflag"),
         "udds_quantile_protocol99": _udds_oracle(None, qs_sql=_QS99_SQL),
+        "udds_rank_cdf": _CDF_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

@@ -100,6 +100,9 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "asof_error_last_click",
         "events_sessionization",
         "boilerplate_line_dedup",
+        "moments_price_by_flag",
+        "range_join_value_bands",
+        "tfidf_top_terms",
     ]:
         record(name, lambda name=name: qs[name](spark, sf_dir).count())
 

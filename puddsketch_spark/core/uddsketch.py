@@ -293,6 +293,26 @@ class UDDSketch:
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(q) for q in qs], dtype=np.float64)
 
+    def rank_of(self, v: float) -> int:
+        """Inverse quantile: estimated number of items <= ``v`` (the CDF in
+        counts). Bucket-granular — every item sharing v's bucket counts as
+        <= v, so the estimate is exact whenever v is a bucket upper bound
+        and otherwise off by at most that one bucket's mass (items within
+        relative alpha of v). Negative v ranks 0 (positive-domain store,
+        matching the reference's VALIDATE domain)."""
+        if not np.isfinite(v) or v < 0.0:
+            return 0
+        if v < MIN_ADDRESSABLE:
+            return int(self.zero_count)
+        if self.keys.size == 0:
+            return int(self.zero_count)
+        k = int(self._bucket_keys(np.array([v], dtype=np.float64))[0])
+        return int(self.zero_count + self.counts[self.keys <= k].sum())
+
+    def cdf(self, v: float) -> float:
+        n = self.count
+        return float(self.rank_of(v)) / n if n else float("nan")
+
     def bucket_value(self, bkey: int) -> float:
         """gamma^key * (1-alpha) == 2*gamma^key/(gamma+1) (uddsketch.cpp:153-157)."""
         return float(self.gamma ** float(bkey) * (1.0 - self.alpha))

@@ -320,3 +320,33 @@ def test_compat_golden_parity_distributed(spark, golden_cases):
     assert sk.zero_count == case["zero"]
     for q, ref_est in case["quantiles"].items():
         assert sk.quantile(float(q)) == pytest.approx(ref_est, rel=5e-16)
+
+
+def test_rank_of_and_cdf():
+    """Inverse quantile: bucket-granular CDF — exact at bucket upper
+    bounds, within one bucket's mass elsewhere, monotone, zero/negative/
+    NaN domains handled like the positive-store reference."""
+    import numpy as np
+
+    from puddsketch_spark.core import UDDSketch
+
+    rng = np.random.default_rng(9)
+    x = rng.lognormal(1.0, 1.0, 40_000)
+    sk = UDDSketch(0.01, m=0).update(np.concatenate([x, [0.0, 0.0]]))
+    assert sk.rank_of(-5.0) == 0 and sk.rank_of(0.0) == 2  # zero bucket
+    prev = 0
+    for v in (0.3, 1.0, 3.0, 10.0, 100.0, 1e9):
+        r = sk.rank_of(v)
+        assert r >= prev  # monotone
+        lo = int((x <= v / sk.gamma).sum()) + 2
+        hi = int((x <= v * sk.gamma).sum()) + 2
+        assert lo <= r <= hi, (v, r, lo, hi)
+        prev = r
+    assert sk.cdf(1e9) == 1.0
+    assert sk.rank_of(float("nan")) == 0
+    # exact at a bucket upper bound: rank(bucket_value * (1+alpha)/(1))
+    k = int(sk.keys[len(sk.keys) // 2])
+    ub = sk.gamma ** k  # items with key <= k are exactly those <= gamma^k
+    assert sk.rank_of(ub) == 2 + int(
+        sk.counts[sk.keys <= k].sum()
+    )
