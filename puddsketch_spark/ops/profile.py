@@ -9,7 +9,10 @@ jobs regardless of column count:
      a single (feature, value) relation, so one Arrow fill pass),
   3. one stacked scan -> grouped theta states (distinct estimates for every
      column, values stringified),
-  4. one stacked scan -> grouped Misra-Gries states (top value per column).
+  4. one stacked scan -> grouped Misra-Gries states (top value per column),
+  5. one stacked scan -> grouped UDD states (numeric quartiles + p99,
+     relative error <= alpha on positive values; columns with zero or
+     negative values report bucket-floored 0.0 below their zero mass).
 
 At 100 TB this is the difference between profiling being "4 scans" and
 "4 x n_columns scans"; every shuffle carries fixed-size sketch blobs. The
@@ -52,11 +55,13 @@ def profile_table(
     mg_k: int = 64,
 ) -> DataFrame:
     """DataFrame[column, dtype, n, n_null, distinct_est, distinct_exact_mode,
-    mean, stddev, vmin, vmax, top_value, top_freq_lo, top_freq_err] —
-    sorted by column name. Numeric-only fields are NULL for other dtypes."""
+    mean, stddev, vmin, vmax, p25, p50, p75, p99, top_value, top_freq_lo,
+    top_freq_err] — sorted by column name. Numeric-only fields are NULL for
+    other dtypes."""
     from ..core.heavyhitters import MisraGries
     from ..core.moments import MomentsSketch
     from ..core.theta import ThetaSketch
+    from ..core.uddsketch import UDDSketch
     from ..spark.agg import sketch_grouped
 
     cols = list(columns or df.columns)
@@ -70,14 +75,21 @@ def profile_table(
     ).first()
     n_total = counts["_n"]
 
-    # job 2: numeric moments, one stacked fill
-    moments = {}
+    # jobs 2+5: numeric moments and quantile sketches, one stacked fill each
+    moments, udds = {}, {}
     if numeric:
         stacked = _stack(df, numeric, lambda c: F.col(c).cast("double"))
         moments = {
             r["feature"]: MomentsSketch.from_bytes(r["state"])
             for r in sketch_grouped(
                 stacked, "v", ["feature"], MomentsSketch, MomentsSketch.from_bytes
+            ).collect()
+        }
+        udds = {
+            r["feature"]: UDDSketch.from_bytes(r["state"])
+            for r in sketch_grouped(
+                stacked, "v", ["feature"],
+                lambda: UDDSketch(initial_alpha=0.01, m=512), UDDSketch.from_bytes,
             ).collect()
         }
 
@@ -101,6 +113,12 @@ def profile_table(
     rows = []
     for c in sorted(cols):
         sk_m = moments.get(c)
+        sk_q = udds.get(c)
+        qs = (
+            [float(sk_q.quantile(q)) for q in (0.25, 0.5, 0.75, 0.99)]
+            if sk_q is not None and sk_q.count
+            else [None] * 4
+        )
         th = thetas.get(c)
         mg = mgs.get(c)
         top_val, top_lo = None, None
@@ -122,6 +140,7 @@ def profile_table(
                 float(sk_m.stddev()) if sk_m is not None and sk_m.n else None,
                 float(sk_m.vmin) if sk_m is not None and sk_m.n else None,
                 float(sk_m.vmax) if sk_m is not None and sk_m.n else None,
+                *qs,
                 top_val,
                 int(top_lo) if top_lo is not None else None,
                 int(mg.err) if mg is not None else None,
@@ -131,5 +150,6 @@ def profile_table(
         rows,
         "column string, dtype string, n long, n_null long, distinct_est double, "
         "distinct_exact_mode boolean, mean double, stddev double, vmin double, "
-        "vmax double, top_value string, top_freq_lo long, top_freq_err long",
+        "vmax double, p25 double, p50 double, p75 double, p99 double, "
+        "top_value string, top_freq_lo long, top_freq_err long",
     )

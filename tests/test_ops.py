@@ -779,6 +779,10 @@ def test_profile_table_summarize(spark):
     # numeric stats over non-null values
     assert prof["v"].mean == 25.0 and prof["v"].vmin == 10.0 and prof["v"].vmax == 40.0
     assert prof["cat"].mean is None  # non-numeric
+    # quantiles from the stacked UDD fill (alpha=0.01 relative)
+    assert abs(prof["v"].p50 - 20.0) <= 0.2 + 1e-9
+    assert abs(prof["id"].p99 - 4.0) <= 0.05 + 1e-9  # rank floor(0.99*4)=3 -> 4th value
+    assert prof["cat"].p50 is None
     # top value
     assert prof["cat"].top_value == "a" and prof["cat"].top_freq_lo == 3
     assert prof["cat"].top_freq_err == 0  # k=64 >> cardinality: exact counts
