@@ -108,6 +108,53 @@ FROM probes CROSS JOIN nn
 """
 
 
+def _rank_agreement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-quantile (rank) agreement across the rank-capable kernels:
+    KLL.rank / REQ.rank / TDigest.cdf, each filled distributed over
+    l_extendedprice, probed at fixed values and flag-checked against the
+    exact normalized rank (KLL/REQ within their published rank-error
+    bounds with merge headroom, t-digest within its empirical envelope).
+    The oracle replays the exact ranks and emits TRUE flags."""
+    from puddsketch_spark.core import KLLSketch, REQSketch, TDigest
+    from puddsketch_spark.spark.agg import sketch_global
+
+    li = _t(spark, sf_dir, "lineitem")
+    kll = sketch_global(li, "l_extendedprice", lambda: KLLSketch(k=200),
+                        KLLSketch.from_bytes)
+    req = sketch_global(li, "l_extendedprice", lambda: REQSketch(k=32),
+                        REQSketch.from_bytes)
+    td = sketch_global(li, "l_extendedprice", lambda: TDigest(delta=200),
+                       TDigest.from_bytes)
+    probes = [5000.0, 20000.0, 60000.0, 100000.0]
+    exact_row = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum((F.col("l_extendedprice") <= v).cast("long")).alias(f"r{i}")
+          for i, v in enumerate(probes)],
+    ).first()
+    n = exact_row["_n"]
+    rows = []
+    for i, v in enumerate(probes):
+        exact = exact_row[f"r{i}"] / n
+        rows.append((
+            float(v), int(exact_row[f"r{i}"]),
+            bool(abs(kll.rank(v) - exact) <= 3 * kll.rank_eps),
+            bool(abs(req.rank(v) - exact) <= 0.05),
+            bool(abs(td.cdf(v) - exact) <= 0.03),
+        ))
+    return spark.createDataFrame(
+        rows, "v double, exact_rank long, kll_ok boolean, req_ok boolean, td_ok boolean"
+    )
+
+
+_RANK_AGREE_SQL = """
+WITH probes(v) AS (VALUES (5000.0e0),(20000.0e0),(60000.0e0),(100000.0e0))
+SELECT v,
+       (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= v) AS exact_rank,
+       TRUE AS kll_ok, TRUE AS req_ok, TRUE AS td_ok
+FROM probes
+"""
+
+
 def _udds_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puddsketch_spark.core import UDDSketch
     from puddsketch_spark.spark.agg import quantile_table, sketch_grouped_jvm
@@ -2442,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udds_quantile_by_flag": _udds_by_flag,
         "udds_quantile_protocol99": _udds_quantile_protocol99,
         "udds_rank_cdf": _udds_rank_cdf,
+        "rank_agreement_check": _rank_agreement_check,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2504,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_quantile_by_flag": _udds_oracle("l_returnflag"),
         "udds_quantile_protocol99": _udds_oracle(None, qs_sql=_QS99_SQL),
         "udds_rank_cdf": _CDF_SQL,
+        "rank_agreement_check": _RANK_AGREE_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

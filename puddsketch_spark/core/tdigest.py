@@ -128,6 +128,30 @@ class TDigest:
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(q) for q in qs])
 
+    def cdf(self, value: float) -> float:
+        """Estimated fraction of items <= value — the interpolated inverse
+        of quantile() over the same centroid-midpoint knots, so
+        cdf(quantile(q)) ~= q away from the clamped extremes."""
+        if self.means.size == 0:
+            return float("nan")
+        if value <= self.vmin:
+            return 0.0
+        if value >= self.vmax:
+            return 1.0
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if value <= self.means[0]:
+            span = self.means[0] - self.vmin
+            frac = (value - self.vmin) / span if span > 0 else 1.0
+            return float(frac * cum[0] / self.total)
+        if value >= self.means[-1]:
+            span = self.vmax - self.means[-1]
+            frac = (value - self.means[-1]) / span if span > 0 else 0.0
+            return float((cum[-1] + frac * (self.total - cum[-1])) / self.total)
+        i = int(np.searchsorted(self.means, value, side="right"))
+        lo, hi = self.means[i - 1], self.means[i]
+        frac = (value - lo) / (hi - lo) if hi > lo else 0.0
+        return float((cum[i - 1] + frac * (cum[i] - cum[i - 1])) / self.total)
+
     def to_bytes(self) -> bytes:
         head = _MAGIC + struct.pack(
             "<ddddq", self.delta, self.total, self.vmin, self.vmax, self.means.size

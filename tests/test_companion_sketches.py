@@ -336,3 +336,19 @@ def test_moments_empty_and_degenerate():
     const = MomentsSketch().update(np.full(100, 7.0))
     assert const.variance() == 0.0 and np.isnan(const.kurtosis())
     assert MomentsSketch().merge(const).same_buckets(const)
+
+
+def test_tdigest_cdf_inverse_of_quantile():
+    from puddsketch_spark.core import TDigest
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(10, 3, 80_000)
+    sk = TDigest(delta=200).update(x)
+    # cdf matches the empirical CDF within ~rank error
+    for v in (4.0, 8.0, 10.0, 13.0, 16.0):
+        emp = (x <= v).mean()
+        assert abs(sk.cdf(v) - emp) <= 0.012, (v, sk.cdf(v), emp)
+    # inverse consistency away from the extremes
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        assert abs(sk.cdf(sk.quantile(q)) - q) <= 0.012, q
+    assert sk.cdf(sk.vmin - 1) == 0.0 and sk.cdf(sk.vmax + 1) == 1.0
