@@ -32,17 +32,21 @@ def parse_args(argv=None):
     src.add_argument("--generate", type=int, help="generate N synthetic turns instead")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--feature", default="text_len",
-                   choices=["text_len", "latency_s"],
-                   help="per-turn numeric feature to sketch")
+                   choices=["text_len", "latency_s", "conv_id"],
+                   help="per-turn feature to sketch (conv_id: raw column, "
+                        "for the distinct-count kernels)")
     p.add_argument("--group-by", nargs="*", default=["role"])
     p.add_argument("--quantiles", nargs="*", type=float, default=[0.5, 0.9, 0.99, 0.999])
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--max-buckets", type=int, default=200)
     p.add_argument("--engine", choices=["jvm", "arrow"], default="jvm")
-    p.add_argument("--sketch", choices=["udds", "dd", "kll", "tdigest", "moments"],
+    p.add_argument("--sketch",
+                   choices=["udds", "dd", "kll", "tdigest", "moments", "hll", "theta"],
                    default="udds",
                    help="moments = exact mergeable mean/var/skew/kurtosis "
-                        "(emits a stats table; --quantiles ignored)")
+                        "(emits a stats table); hll / theta = approximate "
+                        "COUNT(DISTINCT feature) per group (emits a distinct-"
+                        "count table); --quantiles ignored for these three")
     # the reference's compile-time variants as runtime flags:
     # -DLowBins/-DHighBins (ParallelDDSketch/Makefile:46-47) -> --collapse-mode
     p.add_argument("--collapse-mode", choices=["uniform", "ddog_low", "ddog_high"],
@@ -109,10 +113,11 @@ def main(argv=None) -> int:
         from puddsketch_spark.core import DDSketchPair
         from puddsketch_spark.spark.agg import rollup_states
 
-        from puddsketch_spark.core import MomentsSketch
+        from puddsketch_spark.core import HLLSketch, MomentsSketch, ThetaSketch
 
         fb = {"udds": UDDSketch, "kll": KLLSketch, "tdigest": TDigest,
-              "dd": DDSketchPair, "moments": MomentsSketch}[args.sketch].from_bytes
+              "dd": DDSketchPair, "moments": MomentsSketch,
+              "hll": HLLSketch, "theta": ThetaSketch}[args.sketch].from_bytes
         states = spark.read.parquet(args.from_states)
         group = list(args.group_by)
         # fail fast with actionable messages instead of an opaque
@@ -134,7 +139,19 @@ def main(argv=None) -> int:
                     f"state table {args.from_states} was saved with "
                     f"--sketch {stored_kernel}, not --sketch {args.sketch}; "
                     "blobs are not interchangeable between kernels")
-        if args.sketch == "moments":
+        if args.sketch in ("hll", "theta"):
+            if group:
+                from pyspark.sql import functions as F
+
+                est = F.udf(
+                    lambda b: int(round(fb(bytes(b)).estimate())), "long")
+                out = rollup_states(states, group, fb).select(
+                    *group, est("state").alias("distinct_est"))
+            else:
+                sk = rollup_states(states, (), fb)
+                out = spark.createDataFrame(
+                    [(int(round(sk.estimate())),)], "distinct_est long")
+        elif args.sketch == "moments":
             from puddsketch_spark.spark.sketches import moments_table
 
             if group:
@@ -169,8 +186,9 @@ def main(argv=None) -> int:
         df = spark.read.parquet(args.input)
     if args.feature == "text_len":
         df = with_text_len(df) if "text" in df.columns else df
-    else:
+    elif args.feature == "latency_s":
         df = with_inter_turn_latency(df).where("latency_s is not null")
+    # conv_id: raw column passthrough (distinct-count kernels)
     if args.salt_buckets > 0:
         df = salted_repartition(df, ["conv_id"], ["turn_idx", "ts"],
                                 spark.sparkContext.defaultParallelism * 2,
@@ -217,6 +235,27 @@ def main(argv=None) -> int:
                                  args.alpha, args.max_buckets,
                                  engine="jvm" if args.engine == "jvm" else "python",
                                  pre_aggregate=args.pre_aggregate)
+    elif args.sketch in ("hll", "theta"):
+        from puddsketch_spark.core import HLLSketch, ThetaSketch
+        from puddsketch_spark.spark.agg import sketch_global
+
+        kernel = HLLSketch if args.sketch == "hll" else ThetaSketch
+        if group:
+            merged = sketch_grouped(df, args.feature, group, kernel,
+                                    kernel.from_bytes,
+                                    pre_aggregate=args.pre_aggregate)
+            from pyspark.sql import functions as F
+
+            # rows here = one per group (not the hot path): plain UDF is fine
+            est = F.udf(
+                lambda b: int(round(kernel.from_bytes(bytes(b)).estimate())),
+                "long")
+            out = merged.select(*group, est("state").alias("distinct_est"))
+        else:
+            sk = sketch_global(df, args.feature, kernel, kernel.from_bytes,
+                               pre_aggregate=args.pre_aggregate)
+            out = spark.createDataFrame(
+                [(int(round(sk.estimate())),)], "distinct_est long")
     elif args.sketch == "moments":
         from puddsketch_spark.core import MomentsSketch
         from puddsketch_spark.spark.agg import sketch_global
