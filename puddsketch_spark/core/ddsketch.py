@@ -370,6 +370,46 @@ class DDSketchPair:
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(q) for q in qs])
 
+    def _key_of(self, mag: float) -> int:
+        """Bucket key of a positive magnitude, matching update()'s key fn
+        (incl. compat-mode glibc log10)."""
+        if self.compat:
+            base = float(2**self.num_collapses) * _libm_log10(
+                np.array([self.gamma0])
+            )[0]
+            return int(np.ceil(_libm_log10(np.array([mag]))[0] / base))
+        return int(np.ceil(np.log(mag) / self.log_gamma))
+
+    def rank_of(self, v: float) -> int:
+        """Inverse quantile over the signed domain: estimated number of
+        items <= ``v``, walking the same neg / B* / pos order as
+        quantile(). Bucket-granular like UDDSketch.rank_of — every item
+        sharing v's bucket counts as <= v."""
+        if not np.isfinite(v):
+            return 0 if np.isnan(v) or v < 0 else self.count
+        neg_total = int(self.neg_counts.sum())
+        if v < 0:
+            mag = -v
+            if mag < MIN_ADDRESSABLE:
+                # above every addressable negative: all negatives count
+                return neg_total
+            k = self._key_of(mag)
+            # items <= v are the negatives with magnitude >= |v|'s bucket:
+            # neg keys >= k
+            return int(self.neg_counts[self.neg_keys >= k].sum())
+        if v < MIN_ADDRESSABLE:
+            return neg_total + int(self.zero_count)
+        k = self._key_of(v)
+        return (
+            neg_total
+            + int(self.zero_count)
+            + int(self.pos_counts[self.pos_keys <= k].sum())
+        )
+
+    def cdf(self, v: float) -> float:
+        n = self.count
+        return float(self.rank_of(v)) / n if n else float("nan")
+
     def accurate_range(self) -> tuple[float, float]:
         """[q0, q1] quantile window where estimates are alpha-accurate,
         mirroring the reference's DDOG accuracy bookkeeping

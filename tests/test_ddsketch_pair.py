@@ -281,3 +281,29 @@ def test_ddog_merge_associative(mode, seed):
     assert left.same_buckets(right)
     swapped = c.copy().merge(a.copy()).merge(b.copy())
     assert left.same_buckets(swapped)
+
+
+def test_rank_of_signed_domain():
+    """Signed rank walk: negatives by magnitude-descending, B*, positives —
+    within one bucket of the empirical rank everywhere, exact at 0."""
+    import numpy as np
+
+    from puddsketch_spark.core import DDSketchPair
+
+    rng = np.random.default_rng(31)
+    x = np.concatenate([
+        -rng.lognormal(1, 1, 20_000), rng.lognormal(1, 1, 30_000), np.zeros(7)
+    ])
+    sk = DDSketchPair(initial_alpha=0.01, m=0).update(x)
+    g = sk.gamma
+    assert sk.rank_of(0.0) == (x < 0).sum() + 7  # all negatives + B*
+    prev = 0
+    for v in (-20.0, -3.0, -0.5, 0.4, 2.0, 25.0, 1e9):
+        r = sk.rank_of(v)
+        assert r >= prev
+        lo = int((x <= (v * g if v < 0 else v / g)).sum())
+        hi = int((x <= (v / g if v < 0 else v * g)).sum()) + 7
+        assert lo <= r <= hi, (v, r, lo, hi)
+        prev = r
+    assert sk.cdf(1e9) == 1.0 and sk.rank_of(float("nan")) == 0
+    assert sk.rank_of(float("-inf")) == 0
