@@ -108,6 +108,52 @@ FROM probes CROSS JOIN nn
 """
 
 
+def _tail_rows_above_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail mining with sketch thresholds: lineitems above their
+    returnflag-group's UDD p99 of l_extendedprice (two passes: KB-scale
+    threshold table from the JVM fill, broadcast filter on the scan — no
+    per-group sort). With m=0 the threshold is the deterministic bucket
+    value, so DuckDB replays the SAME threshold via the bucket walk and
+    the surviving counts/sums match bit-exactly."""
+    from puddsketch_spark.spark.sketches import filter_above_quantile
+
+    li = _t(spark, sf_dir, "lineitem")
+    tail = filter_above_quantile(
+        li, "l_extendedprice", q=0.99, group_cols=["l_returnflag"], alpha=_A, m=0
+    )
+    return tail.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_tail"),
+    )
+
+
+_TAIL_SQL = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+),
+b AS (SELECT l_returnflag, k, COUNT(*) AS c FROM keyed GROUP BY l_returnflag, k),
+cum AS (SELECT l_returnflag, k,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY k) AS cumc FROM b),
+nn AS (SELECT l_returnflag, COUNT(*) AS n FROM keyed GROUP BY l_returnflag),
+thr AS (
+  SELECT nn.l_returnflag,
+         power({_G_SQL},
+               (SELECT MIN(k) FROM cum
+                WHERE cum.cumc > CAST(floor(0.99e0 * (nn.n - 1)) AS BIGINT)
+                  AND cum.l_returnflag = nn.l_returnflag))
+         * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS t
+  FROM nn
+)
+SELECT keyed.l_returnflag, COUNT(*) AS n_tail,
+       round(SUM(l_extendedprice), 2) AS sum_tail
+FROM keyed JOIN thr ON keyed.l_returnflag = thr.l_returnflag
+WHERE l_extendedprice > thr.t
+GROUP BY keyed.l_returnflag
+"""
+
+
 def _rank_agreement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-quantile (rank) agreement across the rank-capable kernels:
     KLL.rank / REQ.rank / TDigest.cdf, each filled distributed over
@@ -2490,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udds_quantile_protocol99": _udds_quantile_protocol99,
         "udds_rank_cdf": _udds_rank_cdf,
         "rank_agreement_check": _rank_agreement_check,
+        "tail_rows_above_p99": _tail_rows_above_p99,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2553,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_quantile_protocol99": _udds_oracle(None, qs_sql=_QS99_SQL),
         "udds_rank_cdf": _CDF_SQL,
         "rank_agreement_check": _RANK_AGREE_SQL,
+        "tail_rows_above_p99": _TAIL_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

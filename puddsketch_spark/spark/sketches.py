@@ -130,6 +130,48 @@ def theta_set_ops(
     }
 
 
+# ---------------------------------------------------------------- filters
+def filter_above_quantile(
+    df: DataFrame,
+    value_col: str,
+    q: float = 0.99,
+    group_cols: Sequence[str] = (),
+    alpha: float = 0.005,
+    m: int = 0,
+    strict: bool = True,
+) -> DataFrame:
+    """Rows whose ``value_col`` exceeds their group's sketch-estimated
+    q-quantile — tail/outlier mining without a per-group sort.
+
+    Two passes, both cheap at scale: (1) the JVM UDD fill produces one
+    threshold per group (a ~KB-scale table regardless of input size),
+    (2) the thresholds broadcast-join back onto the scan and the filter
+    runs map-side. Compare with the exact approach (window rank over every
+    group = full shuffle + sort of the table). With m=0 the threshold is
+    the deterministic bucket-walk value, so the whole operator is
+    SQL-replayable bit-exactly.
+    """
+    from .agg import quantile_table, sketch_grouped_jvm, udds_quantiles
+
+    group_cols = list(group_cols)
+    cmp = (lambda c, t: c > t) if strict else (lambda c, t: c >= t)
+    if not group_cols:
+        est = udds_quantiles(df, value_col, (), [q], alpha, m, engine="jvm")
+        thr = float(est.first()["est"])
+        return df.where(cmp(F.col(value_col), F.lit(thr)))
+    merged = sketch_grouped_jvm(df, value_col, group_cols, alpha, m)
+    from ..core.uddsketch import UDDSketch
+
+    thresholds = quantile_table(merged, group_cols, [q], UDDSketch.from_bytes).select(
+        *group_cols, F.col("est").alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_cols)
+        .where(cmp(F.col(value_col), F.col("_thr")))
+        .drop("_thr")
+    )
+
+
 # ---------------------------------------------------------------- Moments
 def moments_stats(
     df: DataFrame, value_col: str, group_cols: Sequence[str] = ()

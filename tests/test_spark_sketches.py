@@ -195,3 +195,29 @@ def test_theta_grouped_states_and_cross_group_set_ops(spark):
         .intersect(t.where("role = 'assistant'").select("conv_id")).count()
     )
     assert abs(inter - ex_inter) <= 5 * np.sqrt(max(ex_inter, 1) * 2000 / 1024) + 1
+
+
+def test_filter_above_quantile_grouped_and_global(spark):
+    """Tail filter: rows above the group's sketch p90; with m=0 the
+    threshold is the deterministic bucket value, so the surviving set
+    equals the exact bucket-walk replay; global path included."""
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.sketches import filter_above_quantile
+
+    t = with_text_len(transcripts(spark, n_conv=500, avg_turns=8, seed=14)).cache()
+    out = filter_above_quantile(t, "text_len", q=0.9, group_cols=["role"],
+                                alpha=0.01, m=0)
+    got = out.groupBy("role").count().collect()
+    # replay: exact bucket-walk threshold per role, count above
+    import numpy as np
+
+    pdf = t.select("role", "text_len").toPandas()
+    for r in got:
+        vals = pdf[pdf.role == r.role].text_len.to_numpy(dtype=float)
+        sk = UDDSketch(initial_alpha=0.01, m=0).update(vals)
+        thr = sk.quantile(0.9)
+        assert r["count"] == int((vals > thr).sum()), r.role
+    g = filter_above_quantile(t, "text_len", q=0.99, alpha=0.01, m=0)
+    all_vals = pdf.text_len.to_numpy(dtype=float)
+    skg = UDDSketch(initial_alpha=0.01, m=0).update(all_vals)
+    assert g.count() == int((all_vals > skg.quantile(0.99)).sum())
