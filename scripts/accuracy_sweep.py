@@ -103,6 +103,36 @@ def main() -> None:
                     "within_bound": bool(max(errs) <= sk.alpha + 1e-12),
                 }
             )
+    # rank/CDF accuracy: the bucket-granular inverse quantile's error at v
+    # is bounded by the mass of v's boundary bucket (items within relative
+    # gamma of v) — measure both sides of that inequality per distribution
+    rank_rows = []
+    for dist, gen in rng_specs.items():
+        v = gen(np.random.default_rng(0))
+        sv = np.sort(v)
+        rdd = spark.sparkContext.parallelize(v.tolist(), 16)
+        sdf = rdd.map(lambda x: (x,)).toDF(["x"])
+        sk = sketch_global(
+            sdf, "x", lambda: UDDSketch(initial_alpha=0.01, m=200),
+            UDDSketch.from_bytes,
+        )
+        g = sk.gamma
+        errs, bounds = [], []
+        for q in QS:
+            probe = float(sv[int(np.floor(q * (n - 1)))])
+            emp = float((v <= probe).sum()) / n
+            errs.append(abs(sk.cdf(probe) - emp))
+            bounds.append(float(((v > probe / g) & (v <= probe * g)).sum()) / n)
+        rank_rows.append(
+            {
+                "dist": dist,
+                "max_cdf_err": round(max(errs), 6),
+                "max_bucket_mass": round(max(bounds), 6),
+                "within_bound": bool(
+                    all(e <= b + 1e-12 for e, b in zip(errs, bounds))
+                ),
+            }
+        )
     spark.stop()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -134,9 +164,22 @@ def main() -> None:
                 f"{r['n_q_inside']} | {r['max_rel_err_inside']} | "
                 f"{'YES' if r['within_bound'] else 'NO'} |\n"
             )
-    all_ok = all(r["within_bound"] for r in rows + ddog_rows)
+        f.write(
+            "\n## Inverse quantile (rank/CDF, alpha=0.01, m=200, seed 0)\n\n"
+            "rank_of is bucket-granular: its CDF error at v is bounded by the\n"
+            "mass of v's boundary bucket (items within relative gamma of v).\n"
+            "Measured at the exact quantile points of each distribution:\n\n"
+            "| dist | max |cdf - empirical| | max bucket mass (bound) | within bound |\n"
+            "|---|---|---|---|\n"
+        )
+        for r in rank_rows:
+            f.write(
+                f"| {r['dist']} | {r['max_cdf_err']} | {r['max_bucket_mass']} | "
+                f"{'YES' if r['within_bound'] else 'NO'} |\n"
+            )
+    all_ok = all(r["within_bound"] for r in rows + ddog_rows + rank_rows)
     print(json.dumps({"metric": "accuracy within alpha", "all_within_bound": all_ok,
-                      "cases": len(rows) + len(ddog_rows)}))
+                      "cases": len(rows) + len(ddog_rows) + len(rank_rows)}))
 
 
 if __name__ == "__main__":
