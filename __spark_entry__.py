@@ -825,6 +825,63 @@ SELECT (SELECT COUNT(*) FROM a) AS exact_a,
 """
 
 
+def _rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (flag, status) -> flag -> grand
+    total, with grouping_id to disambiguate NULL group values from NULL
+    subtotal markers. DuckDB replays via ROLLUP + GROUPING."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "n", "sum_qty", "gid",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS flag,
+       COALESCE(l_linestatus, '<all>') AS status,
+       COUNT(*) AS n, round(SUM(l_quantity), 2) AS sum_qty,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _pivot_type_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: weekly event counts pivoted by event_type (fixed
+    pivot values keep the schema static — the scale-safe form; DuckDB
+    replays with conditional aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.weekofyear(F.col("ts").cast("timestamp")).alias("week")
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        ev.select(week, "event_type")
+        .groupBy("week")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+_PIVOT_SQL = """
+SELECT weekofyear(ts) AS week,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup
+FROM events GROUP BY weekofyear(ts)
+"""
+
+
 def _events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -2544,6 +2601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue_orders": _q3_top_revenue_orders,
         "events_type_stats": _events_type_stats,
+        "rollup_flag_status": _rollup_flag_status,
+        "pivot_type_by_week": _pivot_type_by_week,
         "events_gap_quantile": _events_gap_quantile,
         "top2_orders_per_customer": _top2_orders_per_customer,
         "set_ops_part_types": _set_ops_part_types,
@@ -2608,6 +2667,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_revenue_orders": _Q3_SQL,
         "events_type_stats": _EVENTS_SQL,
+        "rollup_flag_status": _ROLLUP_SQL,
+        "pivot_type_by_week": _PIVOT_SQL,
         "events_gap_quantile": _GAP_SQL,
         "top2_orders_per_customer": _TOP2_SQL,
         "set_ops_part_types": _SETOP_SQL,
