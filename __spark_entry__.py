@@ -825,6 +825,42 @@ SELECT (SELECT COUNT(*) FROM a) AS exact_a,
 """
 
 
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS against
+    lineitem, expressed as a left-semi join (the scale-safe Spark form —
+    Catalyst plans the EXISTS subquery the same way). Oracle: the
+    textbook EXISTS SQL."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    # correlated on the join key AND the outer row's date (late shipment)
+    return (
+        o.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (o.o_orderkey == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
 def _rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregation (flag, status) -> flag -> grand
     total, with grouping_id to disambiguate NULL group values from NULL
@@ -2602,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": _q3_top_revenue_orders,
         "events_type_stats": _events_type_stats,
         "rollup_flag_status": _rollup_flag_status,
+        "q4_order_priority": _q4_order_priority,
         "pivot_type_by_week": _pivot_type_by_week,
         "events_gap_quantile": _events_gap_quantile,
         "top2_orders_per_customer": _top2_orders_per_customer,
@@ -2668,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_revenue_orders": _Q3_SQL,
         "events_type_stats": _EVENTS_SQL,
         "rollup_flag_status": _ROLLUP_SQL,
+        "q4_order_priority": _Q4_SQL,
         "pivot_type_by_week": _PIVOT_SQL,
         "events_gap_quantile": _GAP_SQL,
         "top2_orders_per_customer": _TOP2_SQL,
