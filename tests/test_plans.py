@@ -238,3 +238,64 @@ def test_pre_aggregate_counts_before_python(spark):
     # plan trees print top-down (root first), so upstream = LARGER line idx:
     # some HashAggregate must sit below (= before) the deepest python node
     assert max(agg_nodes) > max(py_nodes), tree
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash equi-join — never a
+    cartesian product or broadcast-nested-loop (the naive range-predicate
+    plan that is O(|P| x |I|))."""
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.ops.joins import range_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 25.0, 100.0)],
+        "band string, start double, end double",
+    )
+    out = range_join(ev, bands, "value", bucket_width=25.0)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled hash — both equi-joins
+
+
+def test_decontam_broadcasts_gram_universe(spark):
+    """The exact decontamination path must broadcast the benchmark gram
+    side (small by definition) — a sort-merge join on grams would shuffle
+    the exploded doc-gram table."""
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.ops.decontam import flag_contaminated
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    flags = flag_contaminated(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        n=4, method="join",
+    )
+    plan = _plan(flags)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_and_sessionize_no_extra_exchange_on_sf_data(spark):
+    """Parquet-backed inputs: the as-of join and sessionization still plan
+    exactly their single by-key exchanges (plus the final agg exchange for
+    session_stats)."""
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.ops.asof import asof_join
+    from puddsketch_spark.ops.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    errors = ev.where("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    def executed(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = executed(asof_join(errors, clicks, on="ts", by=["user_id"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    plan = executed(sessionize(ev, ts_col="ts", by=["user_id"],
+                               gap="INTERVAL 30 MINUTES"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
