@@ -154,6 +154,78 @@ GROUP BY keyed.l_returnflag
 """
 
 
+def _ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring from sketches alone: the KS statistic
+    (sup |cdf_a - cdf_b| over bucket boundaries) between two
+    subpopulations' UDD sketches, no rescan of either side. Two pairs: a
+    same-distribution control (returnflag A vs R prices — near zero) and
+    a genuinely shifted pair (prices of small vs large quantities — KS
+    near the quantity split's effect). m=0 keys make the statistic a pure
+    function of the bucket histograms, so DuckDB replays it bit-exactly."""
+    import numpy as np
+
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import udds_bucket_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def sketch_of(df) -> UDDSketch:
+        buckets = udds_bucket_counts(df, "l_extendedprice", (), _A).collect()
+        zero = sum(r["_bcnt"] for r in buckets if r["_bkey"] is None)
+        live = sorted((r["_bkey"], r["_bcnt"]) for r in buckets if r["_bkey"] is not None)
+        return UDDSketch(
+            initial_alpha=_A, m=0, zero_count=int(zero),
+            keys=np.array([k for k, _ in live], dtype=np.int64),
+            counts=np.array([c for _, c in live], dtype=np.int64),
+        )
+
+    pairs = {
+        "flag_A_vs_R": (
+            li.where(F.col("l_returnflag") == "A"),
+            li.where(F.col("l_returnflag") == "R"),
+        ),
+        "qty_lo_vs_hi": (
+            li.where(F.col("l_quantity") <= 25),
+            li.where(F.col("l_quantity") > 25),
+        ),
+    }
+    rows = [
+        (name, round(float(sketch_of(a).ks_distance(sketch_of(b))), 8))
+        for name, (a, b) in sorted(pairs.items())
+    ]
+    return spark.createDataFrame(rows, "pair string, ks double")
+
+
+_KS_SQL = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_quantity,
+         CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+),
+sides AS (
+  SELECT 'flag_A_vs_R' AS pair, CASE WHEN l_returnflag = 'A' THEN 'a' ELSE 'b' END AS side, k
+  FROM keyed WHERE l_returnflag IN ('A', 'R')
+  UNION ALL
+  SELECT 'qty_lo_vs_hi', CASE WHEN l_quantity <= 25 THEN 'a' ELSE 'b' END, k
+  FROM keyed
+),
+b AS (SELECT pair, side, k, COUNT(*) AS c FROM sides GROUP BY pair, side, k),
+n AS (SELECT pair, side, COUNT(*) AS n FROM sides GROUP BY pair, side),
+keys AS (SELECT DISTINCT pair, k FROM b),
+cdfs AS (
+  SELECT keys.pair, keys.k,
+         (SELECT COALESCE(SUM(c), 0) FROM b
+          WHERE b.pair = keys.pair AND b.side = 'a' AND b.k <= keys.k)
+         * 1.0e0 / (SELECT n FROM n WHERE n.pair = keys.pair AND n.side = 'a') AS ca,
+         (SELECT COALESCE(SUM(c), 0) FROM b
+          WHERE b.pair = keys.pair AND b.side = 'b' AND b.k <= keys.k)
+         * 1.0e0 / (SELECT n FROM n WHERE n.pair = keys.pair AND n.side = 'b') AS cb
+  FROM keys
+)
+SELECT pair, round(MAX(ABS(ca - cb)), 8) AS ks FROM cdfs GROUP BY pair
+"""
+
+
 def _rank_agreement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-quantile (rank) agreement across the rank-capable kernels:
     KLL.rank / REQ.rank / TDigest.cdf, each filled distributed over
@@ -2630,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udds_rank_cdf": _udds_rank_cdf,
         "rank_agreement_check": _rank_agreement_check,
         "tail_rows_above_p99": _tail_rows_above_p99,
+        "ks_drift_check": _ks_drift_check,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2697,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_rank_cdf": _CDF_SQL,
         "rank_agreement_check": _RANK_AGREE_SQL,
         "tail_rows_above_p99": _TAIL_SQL,
+        "ks_drift_check": _KS_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

@@ -313,6 +313,36 @@ class UDDSketch:
         n = self.count
         return float(self.rank_of(v)) / n if n else float("nan")
 
+    def ks_distance(self, other: "UDDSketch") -> float:
+        """Kolmogorov–Smirnov statistic between two sketched distributions:
+        sup |cdf_a - cdf_b|, evaluated over the union of bucket boundaries
+        (both CDFs are step functions on bucket keys, so the supremum is
+        attained there — the statistic is EXACT for the bucketed
+        distributions, within one bucket's mass of the raw-data KS).
+        Distribution-drift monitor: compare a new dataset snapshot's sketch
+        against the reference snapshot without rescanning either."""
+        if self.initial_alpha != other.initial_alpha:
+            raise ValueError("KS distance needs a common alpha/key space")
+        a, b = self, other
+        # align resolutions exactly like merge() does
+        if a.num_collapses < b.num_collapses:
+            a = a.copy().collapse(b.num_collapses - a.num_collapses)
+        elif b.num_collapses < a.num_collapses:
+            b = b.copy().collapse(a.num_collapses - b.num_collapses)
+        na, nb = a.count, b.count
+        if na == 0 or nb == 0:
+            return float("nan")
+        keys = np.union1d(a.keys, b.keys)
+        ca = np.zeros(keys.size, dtype=np.int64)
+        cb = np.zeros(keys.size, dtype=np.int64)
+        ca[np.searchsorted(keys, a.keys)] = a.counts
+        cb[np.searchsorted(keys, b.keys)] = b.counts
+        cdfa = (a.zero_count + np.cumsum(ca)) / na
+        cdfb = (b.zero_count + np.cumsum(cb)) / nb
+        gaps = np.abs(cdfa - cdfb)
+        zero_gap = abs(a.zero_count / na - b.zero_count / nb)
+        return float(max(gaps.max() if gaps.size else 0.0, zero_gap))
+
     def bucket_value(self, bkey: int) -> float:
         """gamma^key * (1-alpha) == 2*gamma^key/(gamma+1) (uddsketch.cpp:153-157)."""
         return float(self.gamma ** float(bkey) * (1.0 - self.alpha))

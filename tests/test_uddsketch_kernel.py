@@ -350,3 +350,37 @@ def test_rank_of_and_cdf():
     assert sk.rank_of(ub) == 2 + int(
         sk.counts[sk.keys <= k].sum()
     )
+
+
+def test_ks_distance_drift_detection():
+    """KS between sketches: ~0 for same-distribution samples, matches the
+    raw-data KS within one bucket's mass for shifted distributions, exact
+    0/1 extremes, alpha mismatch raises, collapse alignment works."""
+    import numpy as np
+    import pytest
+
+    from puddsketch_spark.core import UDDSketch
+
+    rng = np.random.default_rng(7)
+    a_vals = rng.lognormal(1, 1, 100_000)
+    b_same = rng.lognormal(1, 1, 100_000)
+    b_shift = rng.lognormal(1.5, 1, 100_000)
+    sa = UDDSketch(0.01, m=0).update(a_vals)
+    assert sa.ks_distance(UDDSketch(0.01, m=0).update(b_same)) <= 0.02
+    ks = sa.ks_distance(UDDSketch(0.01, m=0).update(b_shift))
+    # exact raw KS via sorted scan
+    allv = np.sort(np.concatenate([a_vals, b_shift]))
+    ca = np.searchsorted(np.sort(a_vals), allv, side="right") / a_vals.size
+    cb = np.searchsorted(np.sort(b_shift), allv, side="right") / b_shift.size
+    exact = np.abs(ca - cb).max()
+    assert abs(ks - exact) <= 0.02, (ks, exact)
+    # disjoint supports -> KS = 1
+    lo = UDDSketch(0.01, m=0).update(np.full(100, 1.0))
+    hi = UDDSketch(0.01, m=0).update(np.full(100, 1e6))
+    assert lo.ks_distance(hi) == 1.0
+    assert lo.ks_distance(lo) == 0.0
+    # collapse alignment: m-bounded vs unbounded still comparable
+    small = UDDSketch(0.01, m=32).update(a_vals)
+    assert small.ks_distance(sa) <= 0.05
+    with pytest.raises(ValueError, match="alpha"):
+        sa.ks_distance(UDDSketch(0.001, m=0))
