@@ -158,10 +158,11 @@ def _ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitoring from sketches alone: the KS statistic
     (sup |cdf_a - cdf_b| over bucket boundaries) between two
     subpopulations' UDD sketches, no rescan of either side. Two pairs: a
-    same-distribution control (returnflag A vs R prices — near zero) and
-    a genuinely shifted pair (prices of small vs large quantities — KS
-    near the quantity split's effect). m=0 keys make the statistic a pure
-    function of the bucket histograms, so DuckDB replays it bit-exactly."""
+    same-distribution control (returnflag A vs R prices, KS ~ 0.007) and
+    a genuinely shifted pair (gross price vs discounted revenue, KS ~
+    0.05 — an order of magnitude above the control). m=0 keys make the
+    statistic a pure function of the bucket histograms, so DuckDB replays
+    it bit-exactly."""
     import numpy as np
 
     from puddsketch_spark.core import UDDSketch
@@ -184,9 +185,13 @@ def _ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.where(F.col("l_returnflag") == "A"),
             li.where(F.col("l_returnflag") == "R"),
         ),
-        "qty_lo_vs_hi": (
-            li.where(F.col("l_quantity") <= 25),
-            li.where(F.col("l_quantity") > 25),
+        "price_vs_revenue": (
+            li,
+            li.select(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "l_extendedprice"
+                )
+            ),
         ),
     }
     rows = [
@@ -197,17 +202,22 @@ def _ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KS_SQL = f"""
-WITH keyed AS (
-  SELECT l_returnflag, l_quantity,
+WITH sides AS (
+  SELECT 'flag_A_vs_R' AS pair,
+         CASE WHEN l_returnflag = 'A' THEN 'a' ELSE 'b' END AS side,
          CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
-  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
-),
-sides AS (
-  SELECT 'flag_A_vs_R' AS pair, CASE WHEN l_returnflag = 'A' THEN 'a' ELSE 'b' END AS side, k
-  FROM keyed WHERE l_returnflag IN ('A', 'R')
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R')
+    AND l_extendedprice >= 2.2250738585072014e-308
   UNION ALL
-  SELECT 'qty_lo_vs_hi', CASE WHEN l_quantity <= 25 THEN 'a' ELSE 'b' END, k
-  FROM keyed
+  SELECT 'price_vs_revenue', 'a',
+         CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT)
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+  UNION ALL
+  SELECT 'price_vs_revenue', 'b',
+         CAST(ceil(ln(l_extendedprice * (1.0e0 - l_discount))/ln({_G_SQL})) AS BIGINT)
+  FROM lineitem
+  WHERE l_extendedprice * (1.0e0 - l_discount) >= 2.2250738585072014e-308
 ),
 b AS (SELECT pair, side, k, COUNT(*) AS c FROM sides GROUP BY pair, side, k),
 n AS (SELECT pair, side, COUNT(*) AS n FROM sides GROUP BY pair, side),
