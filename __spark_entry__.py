@@ -154,6 +154,44 @@ GROUP BY keyed.l_returnflag
 """
 
 
+def _qrank_uniformity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: events.value mapped to its CDF position via
+    with_quantile_rank (histogram -> broadcast bucket-cdf join, no sort,
+    no Python), bucketed into deciles. A correct transform yields ~10% per
+    decile (up to bucket granularity); the decile counts are a pure
+    function of the log-bucket histogram, so DuckDB replays them
+    bit-exactly."""
+    from puddsketch_spark.spark.sketches import with_quantile_rank
+
+    ev = _t(spark, sf_dir, "events")
+    ranked = with_quantile_rank(ev, "value", (), alpha=_A)
+    return (
+        ranked.select(
+            F.least(F.floor(F.col("qrank") * 10).cast("int"), F.lit(9)).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_QRANK_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(ceil(ln(value)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM events WHERE value >= 2.2250738585072014e-308
+),
+b AS (SELECT k, COUNT(*) AS c FROM keyed GROUP BY k),
+nn AS (SELECT COUNT(*) AS n FROM keyed),
+cdf AS (
+  SELECT k, SUM(c) OVER (ORDER BY k) * 1.0e0 / nn.n AS qrank
+  FROM b CROSS JOIN nn
+)
+SELECT LEAST(CAST(floor(keyed.k_qrank * 10) AS INT), 9) AS decile,
+       COUNT(*) AS n
+FROM (SELECT cdf.qrank AS k_qrank FROM keyed JOIN cdf USING (k)) keyed
+GROUP BY decile
+"""
+
+
 def _ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitoring from sketches alone: the KS statistic
     (sup |cdf_a - cdf_b| over bucket boundaries) between two
@@ -2713,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_agreement_check": _rank_agreement_check,
         "tail_rows_above_p99": _tail_rows_above_p99,
         "ks_drift_check": _ks_drift_check,
+        "qrank_uniformity_check": _qrank_uniformity_check,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2781,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_agreement_check": _RANK_AGREE_SQL,
         "tail_rows_above_p99": _TAIL_SQL,
         "ks_drift_check": _KS_SQL,
+        "qrank_uniformity_check": _QRANK_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

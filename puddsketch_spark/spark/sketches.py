@@ -172,6 +172,64 @@ def filter_above_quantile(
     )
 
 
+def with_quantile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    alpha: float = 0.005,
+    out: str = "qrank",
+) -> DataFrame:
+    """Adds ``out`` = the value's (bucket-granular) CDF position within its
+    group, in (0, 1] — quantile normalization for feature engineering,
+    entirely JVM-side.
+
+    Plan: the Tungsten log-bucket histogram (KB-scale per group) becomes a
+    cumulative bucket->cdf table; the table broadcast-joins back onto the
+    scan on the codegen'd bucket key. No sort of the data, no Python; cost
+    is one aggregation + a broadcast map join regardless of input size.
+    Semantics match ``UDDSketch.rank_of``: every row sharing a bucket gets
+    that bucket's cumulative mass; rows in the zero bucket (v <
+    MIN_ADDRESSABLE, incl. negatives) get zero_mass / n; NaN/NULL values
+    get NULL rank.
+    """
+    import numpy as np
+
+    from ..core.uddsketch import MIN_ADDRESSABLE
+    from .agg import udds_bucket_counts
+
+    group_cols = list(group_cols)
+    hist = udds_bucket_counts(df, value_col, group_cols, alpha)
+    from pyspark.sql import Window
+
+    wk = (
+        Window.partitionBy(*group_cols)
+        # NULL _bkey (the zero bucket) sorts FIRST, so the running sum
+        # already includes the zero mass for every live bucket
+        .orderBy(F.col("_bkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*group_cols)
+    _ZSENT = -(1 << 62)  # NULL keys never equi-join; sentinel for the zero bucket
+    cdf_tbl = hist.select(
+        *group_cols,
+        F.coalesce("_bkey", F.lit(_ZSENT)).alias("_bkey"),
+        (F.sum("_bcnt").over(wk) / F.sum("_bcnt").over(wn)).alias("_qrank"),
+    )
+
+    gamma0 = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = float(np.log(gamma0))
+    v = F.col(value_col).cast("double")
+    key = F.when(
+        v >= MIN_ADDRESSABLE, F.ceil(F.log(v) / F.lit(log_gamma)).cast("long")
+    )
+    joined = df.withColumn("_bkey", F.coalesce(key, F.lit(_ZSENT))).join(
+        F.broadcast(cdf_tbl), group_cols + ["_bkey"], "left"
+    )
+    return joined.withColumn(
+        out, F.when(~F.isnan(v) & v.isNotNull(), F.col("_qrank"))
+    ).drop("_bkey", "_qrank")
+
+
 # ---------------------------------------------------------------- Moments
 def moments_stats(
     df: DataFrame, value_col: str, group_cols: Sequence[str] = ()

@@ -221,3 +221,34 @@ def test_filter_above_quantile_grouped_and_global(spark):
     all_vals = pdf.text_len.to_numpy(dtype=float)
     skg = UDDSketch(initial_alpha=0.01, m=0).update(all_vals)
     assert g.count() == int((all_vals > skg.quantile(0.99)).sum())
+
+
+def test_with_quantile_rank_semantics(spark):
+    """Quantile-rank transform: matches the kernel's bucket-granular CDF
+    exactly per row, handles zero/negative (zero-bucket) and NaN/NULL
+    rows, grouped variant normalizes within each group."""
+    import pandas as pd
+
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.sketches import with_quantile_rank
+
+    rows = [("g1", float(v)) for v in np.random.default_rng(15).lognormal(1, 1, 3_000)]
+    rows += [("g1", -2.0), ("g1", 0.0), ("g2", 10.0), ("g2", 20.0), ("g2", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = with_quantile_rank(df, "v", ["g"], alpha=0.01).toPandas()
+
+    for gname in ("g1", "g2"):
+        vals = np.array([v for g, v in rows if g == gname and v is not None])
+        sk = UDDSketch(initial_alpha=0.01, m=0).update(vals)
+        sub = out[(out.g == gname) & out.v.notna()]
+        for _, r in sub.sample(n=min(50, len(sub)), random_state=0).iterrows():
+            assert abs(r.qrank - sk.cdf(r.v)) <= 1e-12, (gname, r.v)
+    # zero bucket: rank = zero_mass / n
+    g1n = 3_002
+    zr = out[(out.g == "g1") & (out.v == -2.0)].qrank.iloc[0]
+    assert abs(zr - 2 / g1n) <= 1e-12
+    # NULL value -> NULL rank
+    assert out[(out.g == "g2") & out.v.isna()].qrank.isna().all()
+    # global (ungrouped) path
+    gout = with_quantile_rank(df.where("v is not null"), "v", (), alpha=0.01)
+    assert gout.where("qrank is null").count() == 0
