@@ -154,6 +154,37 @@ GROUP BY keyed.l_returnflag
 """
 
 
+def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join: CMS inner product
+    between the two sides' key-frequency sketches (Cormode & Muthukrishnan
+    §4.3) — the planner-statistics use case. Estimate never underestimates
+    and is bounded by eps * Na * Nb; both properties emitted as flags, the
+    exact join size replayed by the SQL COUNT(*) join."""
+    from puddsketch_spark.spark.sketches import cms_global
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ca = cms_global(orders, "o_orderkey", depth=5, width=16384)
+    cb = cms_global(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey",
+        depth=5, width=16384,
+    )
+    est = ca.inner_product(cb)
+    exact = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    bound = est <= exact + ca.eps * ca.total * cb.total
+    return spark.createDataFrame(
+        [(int(exact), bool(est >= exact), bool(bound))],
+        "exact_join_rows long, est_ge_exact boolean, est_le_bound boolean",
+    )
+
+
+_JOINSIZE_SQL = """
+SELECT (SELECT COUNT(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         AS exact_join_rows,
+       TRUE AS est_ge_exact, TRUE AS est_le_bound
+"""
+
+
 def _qrank_uniformity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization: events.value mapped to its CDF position via
     with_quantile_rank (histogram -> broadcast bucket-cdf join, no sort,
@@ -2752,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_rows_above_p99": _tail_rows_above_p99,
         "ks_drift_check": _ks_drift_check,
         "qrank_uniformity_check": _qrank_uniformity_check,
+        "join_size_estimate": _join_size_estimate,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2821,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         "tail_rows_above_p99": _TAIL_SQL,
         "ks_drift_check": _KS_SQL,
         "qrank_uniformity_check": _QRANK_SQL,
+        "join_size_estimate": _JOINSIZE_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

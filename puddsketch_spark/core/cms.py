@@ -76,6 +76,18 @@ class CountMinSketch:
         ests = np.stack([self.table[d][idx[d]] for d in range(self.depth)])
         return ests.min(axis=0)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate (Cormode & Muthukrishnan §4.3): the min over
+        rows of the sketch-row dot products upper-bounds-in-expectation
+        the true inner product sum_k fa(k) * fb(k) — i.e. the row count of
+        an equi-join between the two sketched multisets. Never
+        underestimates; overestimate bounded by eps * Na * Nb w.p.
+        1 - delta."""
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError("CMS dimension mismatch")
+        dots = np.einsum("dw,dw->d", self.table, other.table)
+        return int(dots.min())
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (self.depth, self.width) != (other.depth, other.width):
             raise ValueError("CMS dimension mismatch")

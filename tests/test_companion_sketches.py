@@ -352,3 +352,21 @@ def test_tdigest_cdf_inverse_of_quantile():
     for q in (0.1, 0.25, 0.5, 0.75, 0.9):
         assert abs(sk.cdf(sk.quantile(q)) - q) <= 0.012, q
     assert sk.cdf(sk.vmin - 1) == 0.0 and sk.cdf(sk.vmax + 1) == 1.0
+
+
+def test_cms_inner_product_join_size():
+    from puddsketch_spark.core import CountMinSketch
+
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 500, 30_000)
+    b = rng.integers(0, 500, 20_000)
+    ca = np.bincount(a, minlength=500)
+    cb = np.bincount(b, minlength=500)
+    exact = int((ca * cb).sum())
+    sa = CountMinSketch(depth=5, width=4096).update(a)
+    sb = CountMinSketch(depth=5, width=4096).update(b)
+    est = sa.inner_product(sb)
+    assert est >= exact  # never underestimates
+    assert est <= exact + sa.eps * sa.total * sb.total
+    with pytest.raises(ValueError, match="dimension"):
+        sa.inner_product(CountMinSketch(depth=4, width=4096))
