@@ -154,6 +154,67 @@ GROUP BY keyed.l_returnflag
 """
 
 
+def _dataset_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot monitoring: dataset_diff between the events table's first
+    and second half-month — id churn from theta set algebra (exact mode at
+    this cardinality, so the integers match SQL joins exactly), value
+    drift as the KS statistic (bit-exact bucket replay), and the mean
+    shift from moments sketches. Two scans, no old-vs-new join."""
+    from puddsketch_spark.ops.diff import dataset_diff
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16")
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.col("ts") >= cut)
+    d = dataset_diff(old, new, "user_id", ["value"], alpha=_A)
+    c = d["columns"]["value"]
+    return spark.createDataFrame(
+        [(
+            c["n_old"], c["n_new"],
+            int(d["ids"]["kept"]), int(d["ids"]["added"]), int(d["ids"]["removed"]),
+            bool(d["ids"]["exact_mode"]),
+            round(c["ks"], 8), round(c["mean_delta"], 4),
+        )],
+        "n_old long, n_new long, users_kept long, users_added long, "
+        "users_removed long, ids_exact boolean, ks double, mean_delta double",
+    )
+
+
+_DIFF_SQL = f"""
+WITH old_side AS (SELECT user_id, value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+new_side AS (SELECT user_id, value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+ou AS (SELECT DISTINCT user_id FROM old_side),
+nu AS (SELECT DISTINCT user_id FROM new_side),
+keyed AS (
+  SELECT 'a' AS side, CAST(ceil(ln(value)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM old_side WHERE value >= 2.2250738585072014e-308
+  UNION ALL
+  SELECT 'b', CAST(ceil(ln(value)/ln({_G_SQL})) AS BIGINT)
+  FROM new_side WHERE value >= 2.2250738585072014e-308
+),
+b AS (SELECT side, k, COUNT(*) AS c FROM keyed GROUP BY side, k),
+n AS (SELECT side, COUNT(*) AS n FROM keyed GROUP BY side),
+keys AS (SELECT DISTINCT k FROM b),
+cdfs AS (
+  SELECT keys.k,
+         (SELECT COALESCE(SUM(c), 0) FROM b WHERE b.side = 'a' AND b.k <= keys.k)
+         * 1.0e0 / (SELECT n FROM n WHERE side = 'a') AS ca,
+         (SELECT COALESCE(SUM(c), 0) FROM b WHERE b.side = 'b' AND b.k <= keys.k)
+         * 1.0e0 / (SELECT n FROM n WHERE side = 'b') AS cb
+  FROM keys
+)
+SELECT (SELECT COUNT(*) FROM old_side) AS n_old,
+       (SELECT COUNT(*) FROM new_side) AS n_new,
+       (SELECT COUNT(*) FROM ou JOIN nu USING (user_id)) AS users_kept,
+       (SELECT COUNT(*) FROM nu ANTI JOIN ou USING (user_id)) AS users_added,
+       (SELECT COUNT(*) FROM ou ANTI JOIN nu USING (user_id)) AS users_removed,
+       TRUE AS ids_exact,
+       (SELECT round(MAX(ABS(ca - cb)), 8) FROM cdfs) AS ks,
+       round((SELECT AVG(value) FROM new_side) - (SELECT AVG(value) FROM old_side), 4)
+         AS mean_delta
+"""
+
+
 def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation WITHOUT running the join: CMS inner product
     between the two sides' key-frequency sketches (Cormode & Muthukrishnan
@@ -2784,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_check": _ks_drift_check,
         "qrank_uniformity_check": _qrank_uniformity_check,
         "join_size_estimate": _join_size_estimate,
+        "dataset_diff_report": _dataset_diff_report,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2854,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift_check": _KS_SQL,
         "qrank_uniformity_check": _QRANK_SQL,
         "join_size_estimate": _JOINSIZE_SQL,
+        "dataset_diff_report": _DIFF_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

@@ -786,3 +786,35 @@ def test_profile_table_summarize(spark):
     # top value
     assert prof["cat"].top_value == "a" and prof["cat"].top_freq_lo == 3
     assert prof["cat"].top_freq_err == 0  # k=64 >> cardinality: exact counts
+
+
+def test_dataset_diff_snapshots(spark):
+    """Snapshot diff: exact-mode id churn matches true kept/added/removed,
+    KS flags the shifted column and not the stable one, moment deltas."""
+    from puddsketch_spark.ops.diff import dataset_diff
+
+    rng = np.random.default_rng(27)
+    old_rows = [
+        (int(i), float(v), float(w))
+        for i, v, w in zip(range(1000), rng.lognormal(1, 1, 1000),
+                           rng.normal(50, 5, 1000))
+    ]
+    # new snapshot: ids 200..1199 (200 removed, 200 added); v stable, w shifted
+    new_rows = [
+        (int(i), float(v), float(w))
+        for i, v, w in zip(range(200, 1200), rng.lognormal(1, 1, 1000),
+                           rng.normal(60, 5, 1000))
+    ]
+    old = spark.createDataFrame(old_rows, "uid long, v double, w double")
+    new = spark.createDataFrame(new_rows, "uid long, v double, w double")
+    d = dataset_diff(old, new, "uid", ["v", "w"], alpha=0.01)
+    assert d["ids"]["exact_mode"]
+    assert d["ids"] == {
+        "old": 1000.0, "new": 1000.0, "kept": 800.0,
+        "added": 200.0, "removed": 200.0, "exact_mode": True,
+    }
+    assert d["columns"]["v"]["ks"] <= 0.1          # same distribution
+    assert d["columns"]["w"]["ks"] >= 0.5          # 2-sigma mean shift
+    assert 8 <= d["columns"]["w"]["mean_delta"] <= 12
+    assert abs(d["columns"]["v"]["mean_delta"]) <= 0.5
+    assert d["columns"]["v"]["n_old"] == d["columns"]["v"]["n_new"] == 1000
