@@ -144,7 +144,7 @@ def flag_contaminated(
         doc_grams = doc_grams.join(candidates, id_col, "left_semi")
 
     hits = _exact_hits(doc_grams, bgrams, id_col)
-    return (
+    out = (
         docs.select(id_col)
         .join(hits, id_col, "left")
         .select(
@@ -153,3 +153,8 @@ def flag_contaminated(
             (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+    # long-lived sessions: release the gram-universe cache with
+    # ops.dedup.release_cached(out) once the flags are materialized
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [bgrams])
