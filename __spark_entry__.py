@@ -154,6 +154,51 @@ GROUP BY keyed.l_returnflag
 """
 
 
+def _rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users — the canonical mergeable-sketch win:
+    one theta state per day (single scan), then every window is a UNION of
+    7 daily states (KB-scale merges), where exact recomputation would
+    rescan 7 days per window. At this cardinality the sketches are in
+    exact mode, so the estimates equal the SQL windowed COUNT(DISTINCT)
+    integer-for-integer."""
+    from puddsketch_spark.core import ThetaSketch
+    from puddsketch_spark.spark.sketches import theta_states
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day")
+    states = {
+        r["day"]: ThetaSketch.from_bytes(r["state"])
+        for r in theta_states(ev.select(day, "user_id"), "user_id", ["day"]).collect()
+    }
+    days = sorted(states)
+    rows = []
+    for i, d in enumerate(days):
+        window = days[max(0, i - 6): i + 1]
+        acc = ThetaSketch(k=states[d].k)
+        for w in window:
+            acc.merge(states[w])
+        rows.append((d, len(window), int(round(acc.estimate()))))
+    return spark.createDataFrame(rows, "day string, window_days int, distinct_users long")
+
+
+_ROLLING_SQL = """
+WITH daily AS (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         date_trunc('day', ts) AS day_ts, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day, day_ts FROM daily)
+SELECT d.day,
+       CAST((SELECT COUNT(DISTINCT x.day) FROM days x
+             WHERE x.day_ts BETWEEN d.day_ts - INTERVAL 6 DAY AND d.day_ts)
+            AS INT) AS window_days,
+       (SELECT COUNT(DISTINCT u.user_id) FROM daily u
+        WHERE u.day_ts BETWEEN d.day_ts - INTERVAL 6 DAY AND d.day_ts)
+         AS distinct_users
+FROM days d
+"""
+
+
 def _dataset_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot monitoring: dataset_diff between the events table's first
     and second half-month — id churn from theta set algebra (exact mode at
@@ -2846,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qrank_uniformity_check": _qrank_uniformity_check,
         "join_size_estimate": _join_size_estimate,
         "dataset_diff_report": _dataset_diff_report,
+        "rolling_distinct_users": _rolling_distinct_users,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2917,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         "qrank_uniformity_check": _QRANK_SQL,
         "join_size_estimate": _JOINSIZE_SQL,
         "dataset_diff_report": _DIFF_SQL,
+        "rolling_distinct_users": _ROLLING_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,
