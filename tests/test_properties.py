@@ -185,7 +185,11 @@ def test_moments_merge_commutative_and_conserving(a, b):
     both = np.concatenate([a, b])
     if both.size:
         assert ab.vmin == both.min() and ab.vmax == both.max()
-        assert abs(ab.mean - ba.mean) <= 1e-9 * max(1.0, abs(ab.mean))
+        # mean precision scales with the VALUE magnitude, not the mean:
+        # near-cancelling inputs (±1e12 summing to ~1e5) legitimately lose
+        # relative precision in the mean itself
+        vscale = max(1.0, abs(ab.vmin), abs(ab.vmax))
+        assert abs(ab.mean - ba.mean) <= 1e-9 * vscale
         whole = MomentsSketch().update(both)
-        scale = max(1.0, abs(whole.m2))
+        scale = max(1.0, abs(whole.m2), (vscale * 1e-6) ** 2)
         assert abs(ab.m2 - whole.m2) <= 1e-6 * scale
