@@ -527,3 +527,45 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(fact, dim, "k", salt_cols=["rid"], how="right")
+
+
+def test_checkpoint_with_theta_and_moments_kernels(spark, tmp_path):
+    """Kernel-generic checkpointing: theta and moments states resumable
+    from disk produce the same result as an uninterrupted run."""
+    from puddsketch_spark.core import MomentsSketch, ThetaSketch
+    from puddsketch_spark.spark.checkpoint import checkpointed_sketch_grouped
+
+    src = str(tmp_path / "ckpt_src")
+    t = transcripts(spark, n_conv=400, avg_turns=8, seed=23)
+    with_text_len(t).select("role", "conv_id", "text_len").coalesce(4).write.mode(
+        "overwrite").parquet(src)
+    df = spark.read.parquet(src)
+
+    for kernel, col in ((lambda: ThetaSketch(k=256), "conv_id"),
+                        (MomentsSketch, "text_len")):
+        fb = type(kernel()).from_bytes
+        direct = {
+            r.role: r.state
+            for r in sketch_grouped(df, col, ["role"], kernel, fb).collect()
+        }
+        ck = str(tmp_path / f"ck_{col}")
+        resumed = {
+            r.role: r.state
+            for r in checkpointed_sketch_grouped(
+                spark, df, col, ["role"], ck, kernel, fb).collect()
+        }
+        # second call resumes purely from the stored partials
+        resumed2 = {
+            r.role: r.state
+            for r in checkpointed_sketch_grouped(
+                spark, df, col, ["role"], ck, kernel, fb).collect()
+        }
+        for role in direct:
+            d, r1, r2 = fb(direct[role]), fb(resumed[role]), fb(resumed2[role])
+            if col == "conv_id":  # theta: bit-deterministic across paths
+                assert d.same_buckets(r1) and r1.same_buckets(r2), role
+            else:  # moments: merge order shifts the last ulp (documented)
+                for other in (r1, r2):
+                    assert d.n == other.n and d.vmin == other.vmin
+                    assert abs(d.mean - other.mean) <= 1e-9 * abs(d.mean)
+                    assert abs(d.m2 - other.m2) <= 1e-9 * abs(d.m2)

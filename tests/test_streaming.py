@@ -342,3 +342,43 @@ def test_sliding_windows_overlap_and_finalize(spark, tmp_path):
     # minute-0 rows (12:00:00-12:00:50) belong to both the 11:55 and 12:00
     # windows -> those two finals overlap-count them
     assert len(finals) >= 4
+
+
+def test_windowed_streaming_with_theta_kernel(spark, tmp_path):
+    """The windowed streaming surface is kernel-generic: theta distinct
+    counts per event-time window, late rows merged into their window."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from puddsketch_spark.core import ThetaSketch
+    from puddsketch_spark.streaming import streaming_sketch_windowed
+
+    src = str(tmp_path / "thsrc")
+    ckpt = str(tmp_path / "thckpt")
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    schema = "role string, uid double, ts timestamp"
+    rows1 = [("u", float(v % 50), t0 + timedelta(seconds=v % 300)) for v in range(400)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sketch_windowed(
+        stream, "uid", ["role"],
+        factory=lambda: ThetaSketch(k=256),
+        from_bytes=ThetaSketch.from_bytes,
+        finalize=lambda sk: (int(round(sk.estimate())),),
+        finalize_schema=StructType([StructField("distinct_uids", LongType(), False)]),
+        ts_col="ts", window_seconds=600, watermark_seconds=600,
+    )
+    q = (out.writeStream.format("memory").queryName("theta_win")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # late batch (within the 600s watermark): 25 NEW uids (50..74)
+        rows2 = [("u", float(50 + v % 25), t0 + timedelta(seconds=200)) for v in range(50)]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        latest = (spark.sql("select * from theta_win")
+                  .orderBy("distinct_uids", ascending=False).first())
+        assert latest.distinct_uids == 75  # 50 original + 25 late, deduped
+    finally:
+        q.stop()
