@@ -154,6 +154,43 @@ GROUP BY keyed.l_returnflag
 """
 
 
+def _unigram_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity-proxy quality filter (CCNet-style): per-doc mean
+    unigram log-probability under the corpus-trained model, rolled up per
+    source with a fixed low-quality threshold. Broadcast vocabulary +
+    one keyed agg; DuckDB replays the identical closed form."""
+    from puddsketch_spark.ops.text import with_unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    scored = with_unigram_logprob(d)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.sum((F.col("logprob") < -3.45).cast("long")).alias("n_low_quality"),
+    )
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(text, '\\s+')) AS term
+  FROM documents
+),
+t2 AS (SELECT * FROM toks WHERE length(term) > 0),
+freqs AS (
+  SELECT term, COUNT(*) * 1.0e0 / (SELECT COUNT(*) FROM t2) AS p
+  FROM t2 GROUP BY term
+),
+scored AS (
+  SELECT doc_id, source, AVG(ln(p)) AS lp
+  FROM t2 JOIN freqs USING (term) GROUP BY doc_id, source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(lp), 6) AS avg_logprob,
+       CAST(SUM(CASE WHEN lp < -3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+FROM scored GROUP BY source
+"""
+
+
 def _rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users — the canonical mergeable-sketch win:
     one theta state per day (single scan), then every window is a UNION of
@@ -2892,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": _join_size_estimate,
         "dataset_diff_report": _dataset_diff_report,
         "rolling_distinct_users": _rolling_distinct_users,
+        "unigram_quality_report": _unigram_quality_report,
         "udds_multi_feature": _udds_multi_feature,
         "udds_rollup_daily": _udds_rollup_daily,
         "streaming_rollup_check": _streaming_rollup_check,
@@ -2964,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": _JOINSIZE_SQL,
         "dataset_diff_report": _DIFF_SQL,
         "rolling_distinct_users": _ROLLING_SQL,
+        "unigram_quality_report": _UNIGRAM_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,

@@ -27,6 +27,7 @@ __all__ = [
     "with_lang_id",
     "with_repetition_stats",
     "top_terms_tfidf",
+    "with_unigram_logprob",
     "winnowing_fingerprints",
 ]
 
@@ -279,3 +280,46 @@ def top_terms_tfidf(
         weighted.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------- unigram LM
+def with_unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "logprob",
+    freqs: DataFrame | None = None,
+) -> DataFrame:
+    """Adds ``out`` = the doc's mean unigram log-probability — the cheap
+    stand-in for the LM-perplexity quality filter (CCNet-style): docs of
+    improbable tokens (gibberish, boilerplate codes, wrong-language) score
+    low, fluent in-domain text scores high.
+
+    The unigram model is trained on ``freqs`` (DataFrame[term, p]) or, by
+    default, on the corpus itself: one explode + count aggregation whose
+    (term, p) table broadcasts — Heaps' law keeps the vocabulary KB-to-MB
+    scale however big the corpus. Scoring is a broadcast join + one
+    aggregation keyed by doc; no UDF anywhere. NULL for docs with no
+    tokens.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.col("*"),
+    )
+    toks = words.select(
+        "_rid", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    if freqs is None:
+        total = Window.partitionBy()
+        freqs = (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select("term", (F.col("_c") / F.sum("_c").over(total)).alias("p"))
+        )
+    scored = (
+        toks.join(F.broadcast(freqs), "term", "left")
+        .groupBy("_rid")
+        .agg(F.avg(F.log("p")).alias(out))  # OOV terms (NULL p) are ignored
+    )
+    return words.join(scored, "_rid", "left").drop("_rid")

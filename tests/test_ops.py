@@ -818,3 +818,37 @@ def test_dataset_diff_snapshots(spark):
     assert 8 <= d["columns"]["w"]["mean_delta"] <= 12
     assert abs(d["columns"]["v"]["mean_delta"]) <= 0.5
     assert d["columns"]["v"]["n_old"] == d["columns"]["v"]["n_new"] == 1000
+
+
+def test_with_unigram_logprob(spark):
+    """Unigram LM scoring: common-word docs outscore rare-word docs; the
+    corpus-trained model matches the closed form; OOV under an external
+    model is ignored; empty docs score NULL."""
+    import math
+
+    from puddsketch_spark.ops.text import with_unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the"),     # most common token
+            (2, "the the rare"),
+            (3, "rare"),            # least common
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.logprob for r in with_unigram_logprob(docs).collect()}
+    # corpus: the x5, rare x2 -> p(the)=5/7, p(rare)=2/7
+    p_the, p_rare = 5 / 7, 2 / 7
+    assert abs(out[1] - math.log(p_the)) < 1e-12
+    assert abs(out[2] - (2 * math.log(p_the) + math.log(p_rare)) / 3) < 1e-12
+    assert abs(out[3] - math.log(p_rare)) < 1e-12
+    assert out[4] is None
+    assert out[1] > out[2] > out[3]
+
+    # external model + OOV: unseen terms don't poison the mean
+    ext = spark.createDataFrame([("the", 0.5)], "term string, p double")
+    out2 = {r.doc_id: r.logprob
+            for r in with_unigram_logprob(docs, freqs=ext).collect()}
+    assert abs(out2[2] - math.log(0.5)) < 1e-12  # only 'the' scored
+    assert out2[3] is None  # fully OOV
