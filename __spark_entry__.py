@@ -1889,8 +1889,8 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 
 def _profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUMMARIZE-style table profile from the sketch family in a constant
-    number of jobs (one null-count agg + three stacked grouped fills:
-    moments, theta, Misra-Gries). Exact fields (n, nulls, numeric
+    number of jobs (one null-count agg + four stacked grouped fills:
+    moments, UDD quantiles, theta, Misra-Gries). Exact fields (n, nulls, numeric
     min/max/mean) are oracle-replayed directly; the theta distinct estimate
     is flag-checked against the exact count with the sqrt(n/theta) error
     model (exact-mode, hence integer-exact, at sf0.01 cardinalities)."""

@@ -3,7 +3,9 @@
 One function per sketch, all built on agg.partial_sketches / merge_grouped /
 sketch_global — identical distributed shape to the UDDSketch flagship:
 Arrow-vectorized per-partition partials, blob-only shuffles, commutative
-merges. (North_rule companion set: HLL, count-min, t-digest, KLL, Bloom.)
+merges. (North_rule companion set: HLL, count-min, t-digest, KLL, Bloom —
+plus theta set algebra, exact moments, and the sketch-powered analytics:
+quantile-threshold filtering and the quantile-rank transform.)
 """
 
 from __future__ import annotations
@@ -28,6 +30,9 @@ __all__ = [
     "theta_states",
     "theta_set_ops",
     "moments_stats",
+    "moments_table",
+    "filter_above_quantile",
+    "with_quantile_rank",
     "cms_states",
     "cms_global",
     "bloom_global",
@@ -88,9 +93,10 @@ def theta_set_ops(
     """Distinct-set algebra between two columns in one pass per side.
 
     Returns {"a", "b", "union", "intersection", "a_not_b", "b_not_a",
-    "jaccard", "rse"} — every cardinality a float estimate from the two
-    theta sketches. The two sketch fills are independent Spark jobs; each
-    shuffles only (k * 8)-byte key blobs, never the columns themselves.
+    "jaccard", "rse", "theta_frac"} — every cardinality a float estimate
+    from the two theta sketches. When the key types match, BOTH sides fill
+    in one tagged scan (grouped by side); either way the shuffle carries
+    only (k * 8)-byte key blobs, never the columns themselves.
     """
     type_a = dict(df_a.dtypes)[col_a]
     type_b = dict(df_b.dtypes)[col_b]

@@ -71,7 +71,8 @@ def parse_args(argv=None):
                    help="also write the merged per-group sketch STATE table "
                         "(parquet, binary state column) — the incremental-"
                         "rollup input: later runs merge states instead of "
-                        "rescanning (udds/kll/tdigest)")
+                        "rescanning (any grouped kernel incl. moments/hll/"
+                        "theta)")
     src.add_argument("--from-states",
                      help="skip the scan entirely: load a --save-states "
                           "table and roll it up to --group-by (must be a "
