@@ -1602,14 +1602,14 @@ FROM documents GROUP BY lang
 
 
 def _ddsketch_signed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DDSketch pair over a mixed-sign feature (events.value - 50); oracle
-    re-derives the three-way sign split + ordered walk in SQL, bit-for-bit."""
-    from puddsketch_spark.core import DDSketchPair
-    from puddsketch_spark.spark.agg import sketch_global
+    """DDSketch pair over a mixed-sign feature (events.value - 50) via the
+    JVM Tungsten-histogram fill (bucket-identical to the Arrow engine at
+    m=0, pinned in tests/test_spark_agg.py); oracle re-derives the
+    three-way sign split + ordered walk in SQL, bit-for-bit."""
+    from puddsketch_spark.spark.agg import dd_sketch_global_jvm
 
     ev = _t(spark, sf_dir, "events").select((F.col("value") - F.lit(50.0)).alias("v"))
-    sk = sketch_global(ev, "v", lambda: DDSketchPair(initial_alpha=_A, m=0),
-                       DDSketchPair.from_bytes)
+    sk = dd_sketch_global_jvm(ev, "v", alpha=_A, m=0)
     qs = (0.01, 0.1, 0.5, 0.9, 0.99)
     rows = [(float(q), float(sk.quantile(q)), int(sk.count)) for q in qs]
     return spark.createDataFrame(rows, "q double, est double, n long")

@@ -42,6 +42,9 @@ from pyspark.sql.types import (
 from ..core.uddsketch import UDDSketch
 
 __all__ = [
+    "dd_bucket_counts",
+    "dd_sketch_global_jvm",
+    "dd_states_grouped_jvm",
     "partial_sketches",
     "merge_grouped",
     "sketch_grouped",
@@ -655,3 +658,150 @@ def udds_quantiles(
     return spark.createDataFrame(
         [(float(q), float(sk.quantile(q))) for q in qs], schema="q double, est double"
     )
+
+
+def dd_bucket_counts(
+    df: DataFrame, value_col: str, group_cols: Sequence[str], alpha: float
+) -> DataFrame:
+    """(group..., _sign, _bkey, _bcnt): JVM-side signed log-bucket histogram
+    for the DDSketch pair — the flagship Tungsten-fill architecture extended
+    to the second kernel family. _sign in {-1, 0, 1} (0 = B*, the near-zero
+    bucket: |v| < MIN_ADDRESSABLE); keys are ceil(ln(|v|)/ln gamma), the
+    same libm expression the numpy kernel uses (non-compat path), so the
+    assembled pair is bucket-identical to an Arrow fill at m=0."""
+    from ..core.uddsketch import MIN_ADDRESSABLE
+
+    gamma0 = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = float(np.log(gamma0))
+    v = F.col(value_col).cast("double")
+    sign = (
+        F.when(F.abs(v) < MIN_ADDRESSABLE, F.lit(0))
+        .when(v > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    key = F.when(
+        F.abs(v) >= MIN_ADDRESSABLE,
+        F.ceil(F.log(F.abs(v)) / F.lit(log_gamma)).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        df.select(*group_cols, v.alias(value_col))
+        .where(~F.isnan(v) & v.isNotNull())
+        .groupBy(*group_cols, sign.alias("_sign"), key.alias("_bkey"))
+        .agg(F.count(F.lit(1)).alias("_bcnt"))
+    )
+
+
+def dd_sketch_global_jvm(
+    df: DataFrame,
+    value_col: str,
+    alpha: float,
+    m: int = 0,
+    collapse_mode: str = "uniform",
+):
+    """Global DDSketchPair via the JVM histogram fill (driver-side object).
+
+    Python sees only the <=10^3-row (sign, key, count) table plus one
+    min/max row; the heavy per-row work is Tungsten hash aggregation. With
+    m=0 the result is bucket-identical to the Arrow-engine fill (pinned in
+    tests). With m>0 the bound is enforced ONCE on the assembled store (a
+    one-shot fold): for uniform mode that is the minimal-collapse result;
+    for the ddog trash-bin modes the fold history differs from an
+    incremental fill's, so use the Arrow engine when reference fold-order
+    parity matters. Not available for compat=True (glibc fast-log keys are
+    Python-side)."""
+    from ..core.ddsketch import DDSketchPair
+
+    rows = dd_bucket_counts(df, value_col, (), alpha).collect()
+    zero = sum(r["_bcnt"] for r in rows if r["_sign"] == 0)
+    pos = sorted((r["_bkey"], r["_bcnt"]) for r in rows if r["_sign"] == 1)
+    neg = sorted((r["_bkey"], r["_bcnt"]) for r in rows if r["_sign"] == -1)
+    v = F.col(value_col).cast("double")
+    mm = (
+        df.select(v.alias("v"))
+        .where(~F.isnan(F.col("v")) & F.col("v").isNotNull())
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .first()
+    )
+    sk = DDSketchPair(
+        initial_alpha=alpha,
+        m=m,
+        collapse_mode=collapse_mode,
+        zero_count=int(zero),
+        pos_keys=np.array([k for k, _ in pos], dtype=np.int64),
+        pos_counts=np.array([c for _, c in pos], dtype=np.int64),
+        neg_keys=np.array([k for k, _ in neg], dtype=np.int64),
+        neg_counts=np.array([c for _, c in neg], dtype=np.int64),
+        min_value=float(mm["lo"]) if mm["lo"] is not None else float("nan"),
+        max_value=float(mm["hi"]) if mm["hi"] is not None else float("nan"),
+    )
+    sk._enforce_bound()
+    return sk
+
+
+def dd_states_grouped_jvm(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    alpha: float,
+    m: int = 0,
+    collapse_mode: str = "uniform",
+) -> DataFrame:
+    """Grouped DDSketchPair states from the JVM histogram fill:
+    DataFrame[group..., state, n, buckets, collapses, num_partials].
+
+    Same contract as sketch_grouped; per group the input is the <=10^3-row
+    signed bucket table plus a min/max row, assembled and bound-enforced in
+    one vectorized pass (see dd_sketch_global_jvm for the one-shot-fold
+    caveat on ddog modes with m > 0)."""
+    from ..core.ddsketch import DDSketchPair
+
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("dd_states_grouped_jvm needs group_cols; "
+                         "use dd_sketch_global_jvm for global")
+    buckets = dd_bucket_counts(df, value_col, group_cols, alpha)
+    v = F.col(value_col).cast("double")
+    mm = (
+        df.select(*group_cols, v.alias("_v"))
+        .where(~F.isnan(F.col("_v")) & F.col("_v").isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    )
+    joined = buckets.join(mm, group_cols)
+    out_fields = [f for f in joined.schema.fields if f.name in group_cols]
+    schema = StructType(
+        out_fields
+        + [
+            StructField("state", BinaryType(), False),
+            StructField("n", LongType(), False),
+            StructField("buckets", IntegerType(), False),
+            StructField("collapses", IntegerType(), False),
+            StructField("num_partials", IntegerType(), False),
+        ]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        zero = int(pdf.loc[pdf["_sign"] == 0, "_bcnt"].sum())
+        pos = pdf[pdf["_sign"] == 1].sort_values("_bkey")
+        neg = pdf[pdf["_sign"] == -1].sort_values("_bkey")
+        sk = DDSketchPair(
+            initial_alpha=alpha,
+            m=m,
+            collapse_mode=collapse_mode,
+            zero_count=zero,
+            pos_keys=pos["_bkey"].to_numpy(dtype=np.int64),
+            pos_counts=pos["_bcnt"].to_numpy(dtype=np.int64),
+            neg_keys=neg["_bkey"].to_numpy(dtype=np.int64),
+            neg_counts=neg["_bcnt"].to_numpy(dtype=np.int64),
+            min_value=float(pdf["_lo"].iloc[0]),
+            max_value=float(pdf["_hi"].iloc[0]),
+        )
+        sk._enforce_bound()
+        key_vals = [_null_safe(pdf[c].iloc[0]) for c in group_cols]
+        return pd.DataFrame(
+            [tuple(key_vals) + (sk.to_bytes(), sk.count, sk.num_buckets,
+                                sk.num_collapses + sk.pair_collapses, 1)],
+            columns=[f.name for f in schema.fields],
+        )
+
+    return joined.groupBy(*group_cols).applyInPandas(assemble, schema=schema)

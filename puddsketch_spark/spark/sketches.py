@@ -391,6 +391,7 @@ def dd_quantiles(
     alpha: float = 0.01,
     bound: int = 512,
     collapse_mode: str = "uniform",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Signed-value quantiles via the DDSketch pair (pos/neg stores + B*),
     any collapse flavor: "uniform" (gamma widens, alpha' grows),
@@ -400,6 +401,10 @@ def dd_quantiles(
     accurate-range window (trash-bin bookkeeping; (0, 1) for uniform mode)
     and alpha_now the post-collapse error bound, so callers can tell which
     estimates carry which guarantee.
+
+    ``engine="jvm"``: Tungsten signed-histogram fill (bucket-identical to
+    arrow at bound=0; ONE-SHOT bound fold otherwise — see
+    agg.dd_sketch_global_jvm). The heavy per-row work never leaves the JVM.
     """
     from ..core.ddsketch import DDSketchPair
 
@@ -416,11 +421,24 @@ def dd_quantiles(
         ]
 
     if not group_cols:
-        sk = sketch_global(df, value_col, factory, DDSketchPair.from_bytes)
+        if engine == "jvm":
+            from .agg import dd_sketch_global_jvm
+
+            sk = dd_sketch_global_jvm(df, value_col, alpha, m=bound,
+                                      collapse_mode=collapse_mode)
+        else:
+            sk = sketch_global(df, value_col, factory, DDSketchPair.from_bytes)
         return df.sparkSession.createDataFrame(
             rows_of(sk), "q double, est double, q0 double, q1 double, alpha_now double"
         )
-    merged = sketch_grouped(df, value_col, group_cols, factory, DDSketchPair.from_bytes)
+    if engine == "jvm":
+        from .agg import dd_states_grouped_jvm
+
+        merged = dd_states_grouped_jvm(df, value_col, group_cols, alpha,
+                                       m=bound, collapse_mode=collapse_mode)
+    else:
+        merged = sketch_grouped(df, value_col, group_cols, factory,
+                                DDSketchPair.from_bytes)
     group_fields = [f for f in merged.schema.fields if f.name in group_cols]
     from pyspark.sql.types import DoubleType, StructField, StructType
 

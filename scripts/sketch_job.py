@@ -214,7 +214,8 @@ def main(argv=None) -> int:
         # carry which guarantee
         out = dd_quantiles(df, args.feature, group, args.quantiles,
                            alpha=args.alpha, bound=args.max_buckets,
-                           collapse_mode=args.collapse_mode)
+                           collapse_mode=args.collapse_mode,
+                           engine=args.engine)
     elif args.sketch == "udds":
         if args.checkpoint and group:
             # resumable per-partition state requires the Arrow engine's

@@ -569,3 +569,73 @@ def test_checkpoint_with_theta_and_moments_kernels(spark, tmp_path):
                     assert d.n == other.n and d.vmin == other.vmin
                     assert abs(d.mean - other.mean) <= 1e-9 * abs(d.mean)
                     assert abs(d.m2 - other.m2) <= 1e-9 * abs(d.m2)
+
+
+def test_dd_jvm_fill_bit_parity_with_arrow(spark):
+    """The JVM (Tungsten histogram) DD-pair fill is bucket-identical to the
+    Arrow-engine fill at m=0 over a mixed-sign column with zeros, and the
+    one-shot m-bound fold produces a valid bounded uniform-mode sketch."""
+    import numpy as np
+
+    from puddsketch_spark.core import DDSketchPair
+    from puddsketch_spark.spark.agg import dd_sketch_global_jvm
+
+    rng = np.random.default_rng(29)
+    vals = np.concatenate([
+        rng.normal(0, 40, 40_000), np.zeros(13), -rng.lognormal(2, 1, 5_000)
+    ])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double").repartition(8)
+
+    jvm = dd_sketch_global_jvm(df, "v", alpha=0.01, m=0)
+    arrow = sketch_global(df, "v", lambda: DDSketchPair(initial_alpha=0.01, m=0),
+                          DDSketchPair.from_bytes)
+    assert jvm.zero_count == arrow.zero_count == 13
+    assert np.array_equal(jvm.pos_keys, arrow.pos_keys)
+    assert np.array_equal(jvm.pos_counts, arrow.pos_counts)
+    assert np.array_equal(jvm.neg_keys, arrow.neg_keys)
+    assert np.array_equal(jvm.neg_counts, arrow.neg_counts)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        assert jvm.quantile(q) == arrow.quantile(q), q
+
+    bounded = dd_sketch_global_jvm(df, "v", alpha=0.01, m=64)
+    assert bounded.num_buckets + 1 <= 64  # B* occupies a slot
+    assert bounded.count == jvm.count
+    sv = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        exact = sv[int(np.floor(q * (len(sv) - 1)))]
+        assert abs(bounded.quantile(q) - exact) <= bounded.alpha * abs(exact) + 1e-9
+
+
+def test_dd_grouped_jvm_matches_arrow(spark):
+    """Grouped JVM DD fill: per-group states bucket-identical to the Arrow
+    engine at m=0, min/max carried, and metrics columns populated."""
+    import numpy as np
+
+    from puddsketch_spark.core import DDSketchPair
+    from puddsketch_spark.spark.agg import dd_states_grouped_jvm
+
+    rng = np.random.default_rng(33)
+    rows = [("a", float(v)) for v in rng.normal(0, 30, 20_000)] + [
+        ("b", float(v)) for v in -rng.lognormal(1, 1, 10_000)
+    ] + [("a", 0.0)] * 3
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(8)
+    jvm = {
+        r.grp: DDSketchPair.from_bytes(r.state)
+        for r in dd_states_grouped_jvm(df, "v", ["grp"], alpha=0.01, m=0).collect()
+    }
+    arrow = {
+        r.grp: DDSketchPair.from_bytes(r.state)
+        for r in sketch_grouped(
+            df, "v", ["grp"], lambda: DDSketchPair(initial_alpha=0.01, m=0),
+            DDSketchPair.from_bytes).collect()
+    }
+    for g in ("a", "b"):
+        j, a = jvm[g], arrow[g]
+        assert j.zero_count == a.zero_count
+        assert np.array_equal(j.pos_keys, a.pos_keys)
+        assert np.array_equal(j.pos_counts, a.pos_counts)
+        assert np.array_equal(j.neg_keys, a.neg_keys)
+        assert np.array_equal(j.neg_counts, a.neg_counts)
+        for q in (0.1, 0.5, 0.9):
+            assert j.quantile(q) == a.quantile(q), (g, q)
+    assert jvm["a"].zero_count == 3

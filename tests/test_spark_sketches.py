@@ -252,3 +252,23 @@ def test_with_quantile_rank_semantics(spark):
     # global (ungrouped) path
     gout = with_quantile_rank(df.where("v is not null"), "v", (), alpha=0.01)
     assert gout.where("qrank is null").count() == 0
+
+
+def test_dd_quantiles_jvm_engine(spark):
+    """dd_quantiles(engine='jvm'): grouped + global results match the
+    arrow engine at bound=0."""
+    import numpy as np
+
+    from puddsketch_spark.spark.sketches import dd_quantiles
+
+    rng = np.random.default_rng(35)
+    rows = [("a", float(v)) for v in rng.normal(0, 50, 20_000)] + [
+        ("b", float(v)) for v in rng.lognormal(3, 1, 20_000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(8)
+    for group in (["grp"], ()):
+        j = sorted(dd_quantiles(df, "v", group, qs=[0.1, 0.5, 0.9], alpha=0.01,
+                                bound=0, engine="jvm").collect())
+        a = sorted(dd_quantiles(df, "v", group, qs=[0.1, 0.5, 0.9], alpha=0.01,
+                                bound=0, engine="arrow").collect())
+        assert j == a and len(j) > 0
