@@ -370,3 +370,20 @@ def test_cms_inner_product_join_size():
     assert est <= exact + sa.eps * sa.total * sb.total
     with pytest.raises(ValueError, match="dimension"):
         sa.inner_product(CountMinSketch(depth=4, width=4096))
+
+
+def test_theta_partition_identity_and_mixed_type_fallback():
+    """Sketch-level set identity: at a common theta, retained(A∩B) +
+    retained(A\\B) = retained(A) — so the estimates partition exactly."""
+    from puddsketch_spark.core import ThetaSketch
+
+    a = ThetaSketch(k=128).update(_ids(20_000, 3, 9_000))
+    b = ThetaSketch(k=128).update(_ids(20_000, 4, 9_000))
+    theta = min(a.theta, b.theta)
+    inter = ThetaSketch.intersect(a, b)
+    diff = ThetaSketch.a_not_b(a, b)
+    a_live = int((a.keys < theta).sum())
+    assert inter.num_buckets + diff.num_buckets == a_live
+    assert inter.theta == diff.theta == theta
+    assert abs(inter.estimate() + diff.estimate()
+               - a_live * float(1 << 63) / float(theta)) < 1e-6

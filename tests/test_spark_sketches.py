@@ -272,3 +272,16 @@ def test_dd_quantiles_jvm_engine(spark):
         a = sorted(dd_quantiles(df, "v", group, qs=[0.1, 0.5, 0.9], alpha=0.01,
                                 bound=0, engine="arrow").collect())
         assert j == a and len(j) > 0
+
+
+def test_theta_set_ops_mixed_key_types_two_fill_fallback(spark):
+    """Different key dtypes take the two-fill path; the algebra still
+    matches exact counts (string ids vs long ids share no hash space, so
+    the honest answer is near-zero intersection)."""
+    from puddsketch_spark.spark.sketches import theta_set_ops
+
+    a = spark.createDataFrame([(f"u{j}",) for j in range(500)], "k string")
+    b = spark.createDataFrame([(j,) for j in range(300)], "k long")
+    ops = theta_set_ops(a, "k", b, "k", k=1024)
+    assert round(ops["a"]) == 500 and round(ops["b"]) == 300
+    assert ops["intersection"] == 0.0  # disjoint hash domains
