@@ -207,10 +207,15 @@ def _rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["day"]: ThetaSketch.from_bytes(r["state"])
         for r in theta_states(ev.select(day, "user_id"), "user_id", ["day"]).collect()
     }
+    import datetime as _dt
+
     days = sorted(states)
     rows = []
-    for i, d in enumerate(days):
-        window = days[max(0, i - 6): i + 1]
+    for d in days:
+        # CALENDAR 7-day window (matching the oracle's INTERVAL 6 DAY), not
+        # the last 7 PRESENT days — a gap in the data must shrink the window
+        d0 = _dt.date.fromisoformat(d) - _dt.timedelta(days=6)
+        window = [w for w in days if d0 <= _dt.date.fromisoformat(w) <= _dt.date.fromisoformat(d)]
         acc = ThetaSketch(k=states[d].k)
         for w in window:
             acc.merge(states[w])

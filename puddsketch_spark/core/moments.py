@@ -96,13 +96,17 @@ class MomentsSketch:
         return self
 
     def update_weighted(self, values, counts) -> "MomentsSketch":
-        """Exact for integer counts (weight w == value repeated w times)."""
+        """Exact for integer counts (weight w == value repeated w times).
+        Zero- or NaN-weight entries contribute nothing — including to
+        min/max (a value present zero times must not become the minimum)."""
         x, w = _drop_nan(values, counts)
         if x.size == 0:
             return self
-        n = float(w.sum())
-        if n == 0:
+        live = (w > 0) & ~np.isnan(w)
+        x, w = x[live], w[live]
+        if x.size == 0:
             return self
+        n = float(w.sum())
         mean = float((x * w).sum() / n)
         c = x - mean
         c2 = c * c

@@ -300,7 +300,10 @@ class UDDSketch:
         and otherwise off by at most that one bucket's mass (items within
         relative alpha of v). Negative v ranks 0 (positive-domain store,
         matching the reference's VALIDATE domain)."""
-        if not np.isfinite(v) or v < 0.0:
+        if not np.isfinite(v):
+            # +inf ranks above everything; NaN/-inf rank below
+            return self.count if v > 0 else 0
+        if v < 0.0:
             return 0
         if v < MIN_ADDRESSABLE:
             return int(self.zero_count)

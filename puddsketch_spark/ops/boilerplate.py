@@ -80,7 +80,10 @@ def dedup_lines(
             hot_arr = np.sort(np.array([r[0] for r in hot_rows], dtype=np.int64))
             bc = df.sparkSession.sparkContext.broadcast(hot_arr)
 
-            out_schema = f"{id_col} long, clean_text string, n_kept long, n_removed long"
+            id_type = dict(df.dtypes)[id_col]  # don't hardcode bigint ids
+            out_schema = (
+                f"{id_col} {id_type}, clean_text string, n_kept long, n_removed long"
+            )
 
             def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 hot_local = bc.value

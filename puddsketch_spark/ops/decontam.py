@@ -109,7 +109,8 @@ def flag_contaminated(
         )
         blob = docs.sparkSession.sparkContext.broadcast(bf.to_bytes())
 
-        out_schema = f"{id_col} long, n_bloom_hits long"
+        id_type = dict(docs.dtypes)[id_col]  # don't hardcode bigint ids
+        out_schema = f"{id_col} {id_type}, n_bloom_hits long"
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             filt = BloomFilter.from_bytes(blob.value)

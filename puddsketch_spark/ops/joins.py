@@ -58,6 +58,23 @@ def bloom_probe(
     matching the hash64 convention the fill used (see core.hashing)."""
     blob = probe.sparkSession.sparkContext.broadcast(filt.to_bytes())
     dtype = dict(probe.dtypes)[key_col]
+    # MUST mirror the fill's dtype convention (agg.partial_sketches): a
+    # probe hashing a different representation than the fill produces false
+    # negatives that silently DROP join rows. Int types hash as int64,
+    # float AND decimal as float64 (the fill classifies decimal numeric),
+    # strings as objects; anything else (timestamp/date/binary) is refused
+    # rather than risking a silent representation mismatch.
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        kind = "i"
+    elif dtype in ("double", "float") or dtype.startswith("decimal"):
+        kind = "f"
+    elif dtype == "string":
+        kind = "o"
+    else:
+        raise ValueError(
+            f"bloom_probe: unsupported key dtype {dtype!r} — cast the key to "
+            "a string/int/float column on BOTH sides first"
+        )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bf = BloomFilter.from_bytes(blob.value)
@@ -65,9 +82,9 @@ def bloom_probe(
             if len(pdf) == 0:
                 yield pdf
                 continue
-            if dtype in ("bigint", "int", "smallint", "tinyint"):
+            if kind == "i":
                 keys = pdf[key_col].to_numpy().astype(np.int64, copy=False)
-            elif dtype in ("double", "float"):
+            elif kind == "f":
                 keys = pdf[key_col].to_numpy().astype(np.float64, copy=False)
             else:
                 keys = pdf[key_col].to_numpy().astype(object)
@@ -161,7 +178,17 @@ def range_join(
     )
     if how == "left":
         matched_keys = out.select(*[F.col(c) for c in points.columns]).distinct()
-        unmatched = points.join(matched_keys, points.columns, "left_anti")
+        # null-SAFE anti join: a point row with a NULL payload column must
+        # still recognize its own matched copy (null-unsafe equality would
+        # re-append it as unmatched, duplicating the row)
+        mk = matched_keys.select(
+            *[F.col(c).alias(f"__mk_{c}") for c in points.columns]
+        )
+        cond = None
+        for c in points.columns:
+            clause = points[c].eqNullSafe(F.col(f"__mk_{c}"))
+            cond = clause if cond is None else (cond & clause)
+        unmatched = points.join(mk, cond, "left_anti")
         for c in iv_payload:
             name = c if c not in points.columns else c + "_iv"
             unmatched = unmatched.withColumn(

@@ -66,7 +66,13 @@ def profile_table(
 
     cols = list(columns or df.columns)
     dtypes = dict(df.dtypes)
-    numeric = [c for c in cols if dtypes[c].startswith(_NUMERIC_PREFIXES)]
+    # "interval day to second" startswith "int" — exclude interval types
+    # BEFORE the numeric prefix match
+    numeric = [
+        c for c in cols
+        if not dtypes[c].startswith("interval")
+        and dtypes[c].startswith(_NUMERIC_PREFIXES)
+    ]
 
     # job 1: count + nulls (single Tungsten agg)
     counts = df.agg(

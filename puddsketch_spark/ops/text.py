@@ -303,10 +303,15 @@ def with_unigram_logprob(
     """
     from pyspark.sql import Window
 
+    # monotonically_increasing_id is only stable within ONE materialization;
+    # `words` feeds two plan branches (scoring + the final join back), so it
+    # must be pinned or a task retry / unstable upstream ordering would pair
+    # rows with another document's score. localCheckpoint materializes the
+    # ids once; truncating lineage here is safe (the op re-derives nothing).
     words = df.select(
         F.monotonically_increasing_id().alias("_rid"),
         F.col("*"),
-    )
+    ).localCheckpoint(eager=False)
     toks = words.select(
         "_rid", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).where(F.length("term") > 0)

@@ -767,7 +767,15 @@ def dd_states_grouped_jvm(
         .groupBy(*group_cols)
         .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
     )
-    joined = buckets.join(mm, group_cols)
+    # null-SAFE join: a NULL group key must keep its state row (null-unsafe
+    # equality would silently drop the NULL group, diverging from the Arrow
+    # engine's _null_safe handling)
+    mm_r = mm.select(*[F.col(c).alias(f"__mm_{c}") for c in group_cols], "_lo", "_hi")
+    cond = None
+    for c in group_cols:
+        clause = buckets[c].eqNullSafe(F.col(f"__mm_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    joined = buckets.join(mm_r, cond).drop(*[f"__mm_{c}" for c in group_cols])
     out_fields = [f for f in joined.schema.fields if f.name in group_cols]
     schema = StructType(
         out_fields

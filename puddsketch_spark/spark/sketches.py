@@ -160,7 +160,14 @@ def filter_above_quantile(
     from .agg import quantile_table, sketch_grouped_jvm, udds_quantiles
 
     group_cols = list(group_cols)
-    cmp = (lambda c, t: c > t) if strict else (lambda c, t: c >= t)
+    # Spark sorts NaN ABOVE every number, so `NaN > threshold` is TRUE —
+    # but the threshold sketch dropped NaNs; exclude them from the tail too
+    not_nan = ~F.isnan(F.col(value_col).cast("double"))
+    cmp = (
+        (lambda c, t: not_nan & (c > t))
+        if strict
+        else (lambda c, t: not_nan & (c >= t))
+    )
     if not group_cols:
         est = udds_quantiles(df, value_col, (), [q], alpha, m, engine="jvm")
         thr = float(est.first()["est"])

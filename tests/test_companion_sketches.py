@@ -387,3 +387,18 @@ def test_theta_partition_identity_and_mixed_type_fallback():
     assert inter.theta == diff.theta == theta
     assert abs(inter.estimate() + diff.estimate()
                - a_live * float(1 << 63) / float(theta)) < 1e-6
+
+
+def test_review_regressions_rank_inf_and_weighted_minmax():
+    """Review regressions: rank_of(+inf) = n (cdf 1.0); zero/NaN-weight
+    entries contribute nothing — including to vmin/vmax."""
+    from puddsketch_spark.core import MomentsSketch, UDDSketch
+
+    sk = UDDSketch(0.01, m=0).update(np.array([1.0, 2.0, 3.0]))
+    assert sk.rank_of(float("inf")) == 3 and sk.cdf(float("inf")) == 1.0
+    assert sk.rank_of(float("-inf")) == 0
+
+    m = MomentsSketch().update_weighted(
+        np.array([5.0, -100.0, 7.0]), np.array([3.0, 0.0, np.nan])
+    )
+    assert m.n == 3 and (m.vmin, m.vmax) == (5.0, 5.0)

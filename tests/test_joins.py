@@ -106,3 +106,43 @@ def test_range_join_left_and_bucket_widths(spark):
     # exclusive end
     edge = spark.createDataFrame([(10.0, 3)], "v double, pid long")
     assert range_join(edge, ivs, "v").count() == 0
+
+
+def test_range_join_left_null_payload_no_duplicates(spark):
+    """Review regression: a matched point row carrying a NULL column must
+    not ALSO reappear as unmatched (null-safe anti join)."""
+    from puddsketch_spark.ops.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(10.0, 1, None), (50.0, 2, "x")], "v double, pid long, note string"
+    )
+    ivs = spark.createDataFrame([(0.0, 20.0, 7)], "start double, end double, iid long")
+    out = range_join(pts, ivs, "v", how="left").collect()
+    assert len(out) == 2
+    got = {r.pid: r.iid for r in out}
+    assert got == {1: 7, 2: None}
+
+
+def test_bloom_probe_decimal_keys_and_unsupported_dtype(spark):
+    """Review regression: decimal keys hash float64 on BOTH fill and probe
+    (no silent false negatives); timestamp keys are refused loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.ops.joins import bloom_filtered_join, bloom_key_filter, bloom_probe
+
+    fact = spark.createDataFrame(
+        [(j % 50,) for j in range(2_000)], "k long"
+    ).select(F.col("k").cast("decimal(18,2)").alias("k"))
+    dim = spark.createDataFrame([(j,) for j in range(10)], "k long").select(
+        F.col("k").cast("decimal(18,2)").alias("k")
+    )
+    plain = fact.join(dim, "k").count()
+    filtered = bloom_filtered_join(fact, dim, "k", fpr=0.001).count()
+    assert filtered == plain == 400
+
+    ts_fact = spark.createDataFrame([("2024-01-01",)], "t string").select(
+        F.col("t").cast("timestamp").alias("t")
+    )
+    with _pytest.raises(ValueError, match="unsupported key dtype"):
+        bloom_probe(ts_fact, "t", bloom_key_filter(ts_fact, "t"))

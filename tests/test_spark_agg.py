@@ -639,3 +639,18 @@ def test_dd_grouped_jvm_matches_arrow(spark):
         for q in (0.1, 0.5, 0.9):
             assert j.quantile(q) == a.quantile(q), (g, q)
     assert jvm["a"].zero_count == 3
+
+
+def test_dd_grouped_jvm_keeps_null_group(spark):
+    """Review regression: a NULL group key keeps its state row (null-safe
+    min/max join), matching the Arrow engine's result set."""
+    from puddsketch_spark.core import DDSketchPair
+    from puddsketch_spark.spark.agg import dd_states_grouped_jvm
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 5.0), (None, -7.0)], "grp string, v double"
+    )
+    jvm = {r.grp: DDSketchPair.from_bytes(r.state)
+           for r in dd_states_grouped_jvm(df, "v", ["grp"], alpha=0.01, m=0).collect()}
+    assert set(jvm) == {"a", None}
+    assert jvm[None].count == 2 and jvm[None].min_value == -7.0
