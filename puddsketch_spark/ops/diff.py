@@ -45,21 +45,10 @@ def dataset_diff(
     from ..core.theta import ThetaSketch
     from ..core.uddsketch import UDDSketch
     from ..spark.agg import sketch_global, sketch_grouped
+    from .profile import _stack
 
     def stacked(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("feature"),
-                            F.col(c).cast("double").alias("v"),
-                        )
-                        for c in value_cols
-                    ]
-                )
-            ).alias("s")
-        ).select("s.feature", "s.v")
+        return _stack(df, value_cols, lambda c: F.col(c).cast("double"))
 
     def fills(df: DataFrame):
         th = sketch_global(
