@@ -410,6 +410,26 @@ class DDSketchPair:
         n = self.count
         return float(self.rank_of(v)) / n if n else float("nan")
 
+    def ks_distance(self, other: "DDSketchPair") -> float:
+        """Kolmogorov–Smirnov statistic sup |cdf_a - cdf_b| over the SIGNED
+        domain — the drift monitor UDDSketch.ks_distance can't provide for
+        negative-valued columns (its positive-domain store folds every
+        negative into the zero bucket). Each side evaluates its OWN cdf at
+        the union of both sketches' bucket representatives plus zero; both
+        CDFs are step functions whose jumps occur inside buckets, so the
+        supremum is attained there to bucket granularity (within one
+        bucket's mass of the raw-data KS). Unlike the UDD variant this
+        needs no key-space alignment — differing gammas/collapse states
+        just evaluate at each other's points."""
+        na, nb = self.count, other.count
+        if na == 0 or nb == 0:
+            return float("nan")
+        pts = {0.0}
+        for s in (self, other):
+            pts.update(-s._bucket_value(int(k)) for k in s.neg_keys)
+            pts.update(s._bucket_value(int(k)) for k in s.pos_keys)
+        return max(abs(self.cdf(v) - other.cdf(v)) for v in pts)
+
     def accurate_range(self) -> tuple[float, float]:
         """[q0, q1] quantile window where estimates are alpha-accurate,
         mirroring the reference's DDOG accuracy bookkeeping

@@ -52,9 +52,26 @@ def asof_join(
     Right payload columns arrive as ``<name><suffix>`` when the name clashes
     with a left column, unchanged otherwise; the right time column always
     arrives as ``<right_on><suffix>``.
+    Left rows with a NULL ``on`` time never match (NULL right columns).
+
+    SCALE WARNING — ``by=()``: with no equality keys the single global
+    window puts BOTH relations in ONE partition on ONE executor (Spark
+    keyless-window semantics). Fine for a small dimension-style right side
+    joined to a modest left; at cluster scale always pass ``by`` keys so
+    the sort-shuffle spreads across executors. A runtime warning is issued
+    on every keyless call.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join(by=()) executes as a SINGLE-PARTITION global window "
+            "(both inputs sort on one executor); pass `by` keys for "
+            "cluster-scale inputs",
+            stacklevel=2,
+        )
     right_on = right_on or on
     by = list(by)
     payload_cols = [c for c in right.columns if c not in by]
@@ -94,9 +111,13 @@ def asof_join(
         )
     )
 
-    order = [F.col("__t").asc(), F.col("__side").asc()]
+    # NULL left times must see no right rows in EITHER direction: asc
+    # defaults to nulls-first (correct), but desc defaults to nulls-LAST,
+    # which would hand a NULL-time left row the running last() struct —
+    # i.e. a fabricated match — so the forward order pins nulls first too.
+    order = [F.col("__t").asc_nulls_first(), F.col("__side").asc()]
     if direction == "forward":
-        order = [F.col("__t").desc(), F.col("__side").asc()]
+        order = [F.col("__t").desc_nulls_first(), F.col("__side").asc()]
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)

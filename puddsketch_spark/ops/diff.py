@@ -6,8 +6,12 @@ rescanning either side more than once:
 
   * identity churn: theta sketches over the id column give kept / added /
     removed cardinality estimates (exact below k) via set algebra;
-  * value drift: one UDD sketch per numeric column per side gives the KS
-    statistic (sup |cdf gap| over bucket boundaries);
+  * value drift: one quantile sketch per numeric column per side gives the
+    KS statistic (sup |cdf gap| over bucket boundaries). The default UDD
+    kernel is POSITIVE-DOMAIN: every negative value collapses into the zero
+    bucket, so drift happening within negative values is invisible to it —
+    pass ``signed=True`` to fill signed DDSketch pairs instead, whose KS
+    sees the whole real line (at the cost of the SQL-replayable oracle);
   * moment shift: one moments sketch per column per side gives
     mean/stddev deltas.
 
@@ -32,20 +36,33 @@ def dataset_diff(
     value_cols: Sequence[str],
     alpha: float = 0.005,
     theta_k: int = 4096,
+    signed: bool = False,
 ) -> dict:
     """{"ids": {...churn estimates...},
         "columns": {col: {n_old, n_new, mean_old, mean_new, mean_delta,
                           stddev_old, stddev_new, ks}, ...}}.
 
     Cardinalities are theta estimates (exact when a side's id cardinality
-    sits below ``theta_k``); ks/mean/stddev come from UDD and moments
-    sketches filled once per side.
+    sits below ``theta_k``); ks/mean/stddev come from quantile and moments
+    sketches filled once per side. ``signed=False`` (default) uses the
+    positive-domain UDD kernel — bit-exactly SQL-replayable, but BLIND to
+    drift inside negative values (they all land in one zero bucket);
+    ``signed=True`` uses DDSketch pairs so the KS covers the full real
+    line for columns that go negative.
     """
+    from ..core.ddsketch import DDSketchPair
     from ..core.moments import MomentsSketch
     from ..core.theta import ThetaSketch
     from ..core.uddsketch import UDDSketch
     from ..spark.agg import sketch_global, sketch_grouped
     from .profile import _stack
+
+    if signed:
+        q_factory = lambda: DDSketchPair(initial_alpha=alpha, m=0)  # noqa: E731
+        q_from_bytes = DDSketchPair.from_bytes
+    else:
+        q_factory = lambda: UDDSketch(initial_alpha=alpha, m=0)  # noqa: E731
+        q_from_bytes = UDDSketch.from_bytes
 
     def stacked(df: DataFrame) -> DataFrame:
         return _stack(df, value_cols, lambda c: F.col(c).cast("double"))
@@ -62,10 +79,9 @@ def dataset_diff(
             ).collect()
         }
         udd = {
-            r["feature"]: UDDSketch.from_bytes(r["state"])
+            r["feature"]: q_from_bytes(r["state"])
             for r in sketch_grouped(
-                st, "v", ["feature"],
-                lambda: UDDSketch(initial_alpha=alpha, m=0), UDDSketch.from_bytes,
+                st, "v", ["feature"], q_factory, q_from_bytes
             ).collect()
         }
         return th, mom, udd

@@ -303,17 +303,16 @@ def with_unigram_logprob(
     """
     from pyspark.sql import Window
 
-    # monotonically_increasing_id is only stable within ONE materialization;
-    # `words` feeds two plan branches (scoring + the final join back), so it
-    # must be pinned or a task retry / unstable upstream ordering would pair
-    # rows with another document's score. localCheckpoint materializes the
-    # ids once; truncating lineage here is safe (the op re-derives nothing).
-    words = df.select(
-        F.monotonically_increasing_id().alias("_rid"),
-        F.col("*"),
-    ).localCheckpoint(eager=False)
+    # The score is a pure function of the text, so the row key is the text's
+    # hash — fully deterministic across retries/recomputation (the previous
+    # monotonically_increasing_id + localCheckpoint pinning was only stable
+    # after first materialization and made the stage unrecoverable on
+    # executor loss, r4 advice). Duplicate texts share one score row (their
+    # pooled token average equals the per-copy average); each copy still
+    # contributes its tokens to the corpus-trained model below.
+    words = df.withColumn("_tkey", F.xxhash64(F.col(text_col)))
     toks = words.select(
-        "_rid", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+        "_tkey", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).where(F.length("term") > 0)
     if freqs is None:
         total = Window.partitionBy()
@@ -324,7 +323,7 @@ def with_unigram_logprob(
         )
     scored = (
         toks.join(F.broadcast(freqs), "term", "left")
-        .groupBy("_rid")
+        .groupBy("_tkey")
         .agg(F.avg(F.log("p")).alias(out))  # OOV terms (NULL p) are ignored
     )
-    return words.join(scored, "_rid", "left").drop("_rid")
+    return words.join(scored, "_tkey", "left").drop("_tkey")

@@ -45,6 +45,27 @@ __all__ = [
 ]
 
 
+def _null_safe_broadcast_join(
+    df: DataFrame, small: DataFrame, keys: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Broadcast-join a small keyed table onto ``df`` with null-SAFE key
+    equality. A plain column-name equi-join silently drops every row whose
+    key is NULL even when the small table carries a NULL-key row (the agg
+    paths produce one via _null_safe) — same contract as the JVM fill's
+    join in agg.dd_states_grouped_jvm."""
+    renamed = small.select(
+        *[F.col(c).alias(f"__ns_{c}") for c in keys],
+        *[c for c in small.columns if c not in keys],
+    )
+    cond = None
+    for c in keys:
+        clause = F.col(c).eqNullSafe(F.col(f"__ns_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return df.join(F.broadcast(renamed), cond, how).drop(
+        *[f"__ns_{c}" for c in keys]
+    )
+
+
 # ---------------------------------------------------------------- HLL
 def hll_distinct(
     df: DataFrame, col: str, group_cols: Sequence[str] = (), p: int = 14
@@ -94,30 +115,40 @@ def theta_set_ops(
 
     Returns {"a", "b", "union", "intersection", "a_not_b", "b_not_a",
     "jaccard", "rse", "theta_frac"} — every cardinality a float estimate
-    from the two theta sketches. When the key types match, BOTH sides fill
-    in one tagged scan (grouped by side); either way the shuffle carries
-    only (k * 8)-byte key blobs, never the columns themselves.
+    from the two theta sketches. BOTH sides fill in one tagged scan
+    (grouped by side); the shuffle carries only (k * 8)-byte key blobs,
+    never the columns themselves.
+
+    The key columns must share one dtype: hash64 hashes an int's bit
+    pattern and a float/string's bytes DISJOINTLY, so set-ops between,
+    say, a bigint and a double column of the same logical values would
+    come back ~0 overlap with no error. Cast both sides to a common type
+    first (``df.withColumn(c, F.col(c).cast("bigint"))``) — mismatches
+    raise rather than mis-estimate (same contract as bloom_probe).
     """
     type_a = dict(df_a.dtypes)[col_a]
     type_b = dict(df_b.dtypes)[col_b]
-    if type_a == type_b:
-        # same key type: ONE tagged scan+fill job for both sides instead of
-        # two (the hash-family agg keeps per-side states separate by group)
-        tagged = (
-            df_a.select(F.col(col_a).alias("_v"), F.lit("a").alias("_side"))
-            .unionByName(df_b.select(F.col(col_b).alias("_v"), F.lit("b").alias("_side")))
+    if type_a != type_b:
+        raise TypeError(
+            f"theta_set_ops key dtypes differ ({col_a}: {type_a} vs "
+            f"{col_b}: {type_b}); hash64 hashes representations, not "
+            "values, so cross-type set-ops would silently estimate ~0 "
+            "overlap. Cast both columns to a common type first."
         )
-        states = {
-            r["_side"]: ThetaSketch.from_bytes(r["state"])
-            for r in sketch_grouped(
-                tagged, "_v", ["_side"], lambda: ThetaSketch(k=k), ThetaSketch.from_bytes
-            ).collect()
-        }
-        sa = states.get("a", ThetaSketch(k=k))
-        sb = states.get("b", ThetaSketch(k=k))
-    else:
-        sa = theta_global(df_a, col_a, k=k)
-        sb = theta_global(df_b, col_b, k=k)
+    # same key type: ONE tagged scan+fill job for both sides instead of
+    # two (the hash-family agg keeps per-side states separate by group)
+    tagged = (
+        df_a.select(F.col(col_a).alias("_v"), F.lit("a").alias("_side"))
+        .unionByName(df_b.select(F.col(col_b).alias("_v"), F.lit("b").alias("_side")))
+    )
+    states = {
+        r["_side"]: ThetaSketch.from_bytes(r["state"])
+        for r in sketch_grouped(
+            tagged, "_v", ["_side"], lambda: ThetaSketch(k=k), ThetaSketch.from_bytes
+        ).collect()
+    }
+    sa = states.get("a", ThetaSketch(k=k))
+    sb = states.get("b", ThetaSketch(k=k))
     union = ThetaSketch.union(sa, sb)
     inter = ThetaSketch.intersect(sa, sb)
     u = union.estimate()
@@ -179,7 +210,7 @@ def filter_above_quantile(
         *group_cols, F.col("est").alias("_thr")
     )
     return (
-        df.join(F.broadcast(thresholds), group_cols)
+        _null_safe_broadcast_join(df, thresholds, group_cols)
         .where(cmp(F.col(value_col), F.col("_thr")))
         .drop("_thr")
     )
@@ -235,8 +266,11 @@ def with_quantile_rank(
     key = F.when(
         v >= MIN_ADDRESSABLE, F.ceil(F.log(v) / F.lit(log_gamma)).cast("long")
     )
-    joined = df.withColumn("_bkey", F.coalesce(key, F.lit(_ZSENT))).join(
-        F.broadcast(cdf_tbl), group_cols + ["_bkey"], "left"
+    joined = _null_safe_broadcast_join(
+        df.withColumn("_bkey", F.coalesce(key, F.lit(_ZSENT))),
+        cdf_tbl,
+        group_cols + ["_bkey"],
+        "left",
     )
     return joined.withColumn(
         out, F.when(~F.isnan(v) & v.isNotNull(), F.col("_qrank"))

@@ -121,6 +121,35 @@ def test_asof_single_shuffle_plan(spark):
     assert n_exchanges == 1, plan
 
 
+def test_asof_null_left_time_never_matches(spark):
+    """A left row with NULL `on` must get NULL right columns in BOTH
+    directions (r4 advice: desc default nulls-last ordering handed
+    NULL-time rows the running last() struct in forward mode)."""
+    left = spark.createDataFrame(
+        [("k", None, "lnull"), ("k", 6, "lmid")], "g string, ts long, lid string"
+    )
+    right = spark.createDataFrame(
+        [("k", 2, 1.0), ("k", 9, 2.0)], "g string, ts long, px double"
+    )
+    for direction, mid_px in (("backward", 1.0), ("forward", 2.0)):
+        got = {
+            r.lid: r.px
+            for r in asof_join(
+                left, right, on="ts", by=["g"], direction=direction
+            ).collect()
+        }
+        assert got == {"lnull": None, "lmid": mid_px}, direction
+
+
+def test_asof_keyless_warns(spark):
+    """by=() collapses to one global window partition; callers must hear
+    about it."""
+    left = spark.createDataFrame([(10, "l1")], "ts long, lid string")
+    right = spark.createDataFrame([(5, 1.0)], "ts long, px double")
+    with pytest.warns(UserWarning, match="SINGLE-PARTITION"):
+        asof_join(left, right, on="ts")
+
+
 def test_asof_bad_direction_raises(spark):
     trades, quotes = _toy(spark)
     with pytest.raises(ValueError, match="direction"):

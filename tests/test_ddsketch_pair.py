@@ -307,3 +307,36 @@ def test_rank_of_signed_domain():
         prev = r
     assert sk.cdf(1e9) == 1.0 and sk.rank_of(float("nan")) == 0
     assert sk.rank_of(float("-inf")) == 0
+
+
+def test_ks_distance_signed_vs_exact():
+    """Pair KS matches the exact two-sample statistic to bucket granularity
+    on a mixed-sign dataset, is symmetric, zero against itself, and works
+    across different alphas (no key-space alignment needed)."""
+    import numpy as np
+
+    from puddsketch_spark.core import DDSketchPair
+
+    rng = np.random.default_rng(37)
+    a = np.concatenate([-rng.lognormal(1, 1, 15_000), rng.lognormal(1, 1, 5_000)])
+    b = np.concatenate([-rng.lognormal(1.6, 1, 10_000), rng.lognormal(1, 1, 10_000)])
+
+    def ks_exact(x, y):
+        allv = np.sort(np.concatenate([x, y]))
+        cx = np.searchsorted(np.sort(x), allv, side="right") / x.size
+        cy = np.searchsorted(np.sort(y), allv, side="right") / y.size
+        return float(np.abs(cx - cy).max())
+
+    sa = DDSketchPair(initial_alpha=0.01, m=0).update(a)
+    sb = DDSketchPair(initial_alpha=0.01, m=0).update(b)
+    exact = ks_exact(a, b)
+    got = sa.ks_distance(sb)
+    assert abs(got - exact) <= 0.03, (got, exact)
+    assert got == sb.ks_distance(sa)
+    assert sa.ks_distance(sa) == 0.0
+    # cross-alpha: coarser sketch, still within its (wider) bucket tolerance
+    sb2 = DDSketchPair(initial_alpha=0.05, m=0).update(b)
+    assert abs(sa.ks_distance(sb2) - exact) <= 0.1
+    import math
+
+    assert math.isnan(sa.ks_distance(DDSketchPair(initial_alpha=0.01, m=0)))

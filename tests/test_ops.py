@@ -820,6 +820,34 @@ def test_dataset_diff_snapshots(spark):
     assert d["columns"]["v"]["n_old"] == d["columns"]["v"]["n_new"] == 1000
 
 
+def test_dataset_diff_signed_sees_negative_drift(spark):
+    """The default UDD kernel folds all negatives into one zero bucket, so
+    drift living entirely below zero is invisible to it (documented
+    limitation); signed=True switches the KS to the DDSketch pair and
+    recovers it (r4 advice)."""
+    from puddsketch_spark.ops.diff import dataset_diff
+
+    def ks_exact(a, b):
+        allv = np.sort(np.concatenate([a, b]))
+        ca = np.searchsorted(np.sort(a), allv, side="right") / a.size
+        cb = np.searchsorted(np.sort(b), allv, side="right") / b.size
+        return float(np.abs(ca - cb).max())
+
+    rng = np.random.default_rng(31)
+    a = -rng.lognormal(1, 1, 1500)       # all negative
+    b = -rng.lognormal(2, 1, 1500)       # all negative, shifted
+    old = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(a)], "uid long, v double")
+    new = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(b)], "uid long, v double")
+    blind = dataset_diff(old, new, "uid", ["v"], alpha=0.01)
+    assert blind["columns"]["v"]["ks"] == 0.0  # every value in the zero bucket
+    signed = dataset_diff(old, new, "uid", ["v"], alpha=0.01, signed=True)
+    exact = ks_exact(a, b)
+    assert abs(signed["columns"]["v"]["ks"] - exact) <= 0.05
+    assert signed["columns"]["v"]["ks"] >= 0.3
+
+
 def test_with_unigram_logprob(spark):
     """Unigram LM scoring: common-word docs outscore rare-word docs; the
     corpus-trained model matches the closed form; OOV under an external
@@ -852,3 +880,28 @@ def test_with_unigram_logprob(spark):
             for r in with_unigram_logprob(docs, freqs=ext).collect()}
     assert abs(out2[2] - math.log(0.5)) < 1e-12  # only 'the' scored
     assert out2[3] is None  # fully OOV
+
+
+def test_with_unigram_logprob_duplicate_and_null_texts(spark):
+    """The content-keyed join (r4 advice replaced the checkpoint-pinned row
+    id) must keep one output row per input row: duplicate texts share a
+    score, every copy still counts toward the corpus model, NULL text
+    scores NULL."""
+    import math
+
+    from puddsketch_spark.ops.text import with_unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b"), (3, "b"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = with_unigram_logprob(docs).collect()
+    assert len(rows) == 4  # no fan-out, no loss
+    out = {r.doc_id: r.logprob for r in rows}
+    # corpus counts every copy: a x4, b x3
+    p_a, p_b = 4 / 7, 3 / 7
+    expect_dup = (2 * math.log(p_a) + math.log(p_b)) / 3
+    assert abs(out[1] - expect_dup) < 1e-12
+    assert out[1] == out[2]
+    assert abs(out[3] - math.log(p_b)) < 1e-12
+    assert out[4] is None

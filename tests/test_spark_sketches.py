@@ -254,6 +254,40 @@ def test_with_quantile_rank_semantics(spark):
     assert gout.where("qrank is null").count() == 0
 
 
+def test_quantile_filter_and_rank_keep_null_groups(spark):
+    """Rows whose group key is NULL must be filtered/ranked by the NULL
+    group's own threshold, not silently dropped (r4 advice: the null-unsafe
+    equi-join vanished every NULL-group row; the agg paths DO produce a
+    NULL-group state row)."""
+    import pandas as pd
+
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.sketches import (
+        filter_above_quantile,
+        with_quantile_rank,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [("a", float(v)) for v in rng.lognormal(1, 1, 500)]
+    rows += [(None, float(v)) for v in rng.lognormal(2, 1, 400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    out = filter_above_quantile(df, "v", q=0.9, group_cols=["g"], alpha=0.01, m=0)
+    got = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    for gname in ("a", None):
+        vals = np.array([v for g, v in rows if g == gname])
+        thr = UDDSketch(initial_alpha=0.01, m=0).update(vals).quantile(0.9)
+        assert got.get(gname, 0) == int((vals > thr).sum()), gname
+
+    ranked = with_quantile_rank(df, "v", ["g"], alpha=0.01).toPandas()
+    nullg = ranked[ranked.g.isna()]
+    assert len(nullg) == 400 and nullg.qrank.notna().all()
+    vals = np.array([v for g, v in rows if g is None])
+    sk = UDDSketch(initial_alpha=0.01, m=0).update(vals)
+    expect = pd.Series([sk.cdf(v) for v in nullg.v])
+    assert np.allclose(nullg.qrank.to_numpy(), expect.to_numpy())
+
+
 def test_dd_quantiles_jvm_engine(spark):
     """dd_quantiles(engine='jvm'): grouped + global results match the
     arrow engine at bound=0."""
@@ -274,14 +308,19 @@ def test_dd_quantiles_jvm_engine(spark):
         assert j == a and len(j) > 0
 
 
-def test_theta_set_ops_mixed_key_types_two_fill_fallback(spark):
-    """Different key dtypes take the two-fill path; the algebra still
-    matches exact counts (string ids vs long ids share no hash space, so
-    the honest answer is near-zero intersection)."""
+def test_theta_set_ops_mixed_key_types_raises(spark):
+    """Different key dtypes must raise loudly (r4 advice): hash64 hashes
+    int bit patterns and string/float bytes disjointly, so a silent
+    cross-type fill would estimate ~0 overlap between logically-equal
+    columns. Casting both sides to one type restores the operation."""
+    import pytest
+
     from puddsketch_spark.spark.sketches import theta_set_ops
 
     a = spark.createDataFrame([(f"u{j}",) for j in range(500)], "k string")
     b = spark.createDataFrame([(j,) for j in range(300)], "k long")
-    ops = theta_set_ops(a, "k", b, "k", k=1024)
+    with pytest.raises(TypeError, match="dtypes differ"):
+        theta_set_ops(a, "k", b, "k", k=1024)
+    ops = theta_set_ops(a, "k", b.selectExpr("cast(k as string) k"), "k", k=1024)
     assert round(ops["a"]) == 500 and round(ops["b"]) == 300
-    assert ops["intersection"] == 0.0  # disjoint hash domains
+    assert ops["intersection"] == 0.0  # u-prefixed vs bare digits: disjoint
