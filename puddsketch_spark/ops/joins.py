@@ -99,19 +99,39 @@ def bloom_filtered_join(
     on: str | Sequence[str],
     how: str = "inner",
     fpr: float = 0.01,
-    dim_key: str | None = None,
+    dim_key: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """``fact.join(dim, on, how)`` with a Bloom runtime filter on the fact
     side. Result rows are IDENTICAL to the plain join (the exact join runs
     after the pre-filter; Bloom only thins the exchange input). ``how``
-    must be inner/semi — outer joins need the dropped rows."""
+    must be inner/semi — outer joins need the dropped rows.
+
+    Multi-column keys are supported directly: the filter fills and probes
+    ``xxhash64(k1, ..., kn)`` (one int64 per row, computed JVM-side on both
+    scans). Equal key tuples hash equal, so the composition preserves the
+    zero-false-negative guarantee; hash collisions only add false
+    positives, which the exact join removes."""
     if how not in ("inner", "left_semi", "semi"):
         raise ValueError("bloom_filtered_join supports inner/semi joins only")
-    key = on if isinstance(on, str) else on[0]
-    if not isinstance(on, str) and len(on) > 1:
-        raise ValueError("single-column keys only (compose a struct key first)")
-    filt = bloom_key_filter(dim, dim_key or key, fpr=fpr)
-    thinned = bloom_probe(fact, key, filt)
+    keys = [on] if isinstance(on, str) else list(on)
+    dim_keys = (
+        keys
+        if dim_key is None
+        else ([dim_key] if isinstance(dim_key, str) else list(dim_key))
+    )
+    if len(dim_keys) != len(keys):
+        raise ValueError("dim_key must name one column per fact key")
+    if len(keys) == 1:
+        filt = bloom_key_filter(dim, dim_keys[0], fpr=fpr)
+        thinned = bloom_probe(fact, keys[0], filt)
+    else:
+        ck = "__bloom_ck"
+        filt = bloom_key_filter(
+            dim.withColumn(ck, F.xxhash64(*dim_keys)), ck, fpr=fpr
+        )
+        thinned = bloom_probe(
+            fact.withColumn(ck, F.xxhash64(*keys)), ck, filt
+        ).drop(ck)
     return thinned.join(dim, on, how)
 
 
@@ -139,7 +159,11 @@ def range_join(
     never replicate, and the shuffle is a plain hash exchange.
 
     ``how``: "inner" or "left" (left also keeps point rows with no covering
-    interval, interval columns NULL).
+    interval, interval columns NULL). Both flavors are ONE equi-join on
+    (by..., bucket) carrying the containment predicate as an extra join
+    condition — a point with no covering interval surfaces as the left
+    join's single NULL-extended row, so no second distinct/anti-join pass
+    over the points is needed (r4 review item 5).
     """
     if how not in ("inner", "left"):
         raise ValueError("range_join supports inner/left joins only")
@@ -166,33 +190,16 @@ def range_join(
         ),
     )
     pt = points.withColumn("_bucket", F.floor(F.col(point_col) / w).cast("long"))
+    # containment rides IN the join condition (not a post-filter): the
+    # equi-join still hashes on (by..., bucket), the range check runs inside
+    # the join operator, and a left join then NULL-extends exactly the
+    # points with no covering interval — one job, no anti-join pass
     cond = [pt["_bucket"] == iv["_bucket"]] + [pt[c] == iv[c] for c in by]
-    joined = pt.join(iv, cond, "inner").where(
-        (pt[point_col] >= iv[start_col]) & (pt[point_col] < iv[end_col])
-    )
+    containment = (pt[point_col] >= iv[start_col]) & (pt[point_col] < iv[end_col])
+    joined = pt.join(iv, cond + [containment], how)
     iv_payload = [c for c in intervals.columns if c not in by]
-    out = joined.select(
+    return joined.select(
         *[pt[c] for c in points.columns],
         *[iv[c].alias(c if c not in points.columns else c + "_iv")
           for c in iv_payload],
     )
-    if how == "left":
-        matched_keys = out.select(*[F.col(c) for c in points.columns]).distinct()
-        # null-SAFE anti join: a point row with a NULL payload column must
-        # still recognize its own matched copy (null-unsafe equality would
-        # re-append it as unmatched, duplicating the row)
-        mk = matched_keys.select(
-            *[F.col(c).alias(f"__mk_{c}") for c in points.columns]
-        )
-        cond = None
-        for c in points.columns:
-            clause = points[c].eqNullSafe(F.col(f"__mk_{c}"))
-            cond = clause if cond is None else (cond & clause)
-        unmatched = points.join(mk, cond, "left_anti")
-        for c in iv_payload:
-            name = c if c not in points.columns else c + "_iv"
-            unmatched = unmatched.withColumn(
-                name, F.lit(None).cast(dict(out.dtypes)[name])
-            )
-        out = out.unionByName(unmatched)
-    return out

@@ -5,16 +5,17 @@ estimate, numeric shape stats, top value — computed in a CONSTANT number of
 jobs regardless of column count:
 
   1. one Tungsten agg for count + per-column null counts,
-  2. one stacked scan -> grouped moments states (all numeric columns share
-     a single (feature, value) relation, so one Arrow fill pass),
+  2. one stacked scan -> grouped FUSED moments+UDD states (all numeric
+     columns share a single (feature, value) relation, and one composite
+     kernel fills the exact moments accumulator AND the quantile sketch in
+     the same pass — quartiles + p99 at relative error <= alpha on positive
+     values; columns with zero or negative values report bucket-floored 0.0
+     below their zero mass),
   3. one stacked scan -> grouped theta states (distinct estimates for every
      column, values stringified),
-  4. one stacked scan -> grouped Misra-Gries states (top value per column),
-  5. one stacked scan -> grouped UDD states (numeric quartiles + p99,
-     relative error <= alpha on positive values; columns with zero or
-     negative values report bucket-floored 0.0 below their zero mass).
+  4. one stacked scan -> grouped Misra-Gries states (top value per column).
 
-At 100 TB this is the difference between profiling being "4 scans" and
+At 100 TB this is the difference between profiling being "3 scans" and
 "4 x n_columns scans"; every shuffle carries fixed-size sketch blobs. The
 distinct estimate is EXACT whenever a column's cardinality sits below the
 theta k (exact mode), and the top-value frequency is the MG lower bound
@@ -30,6 +31,66 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["profile_table"]
 
 _NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "double", "float", "decimal")
+
+
+class _NumericProfileSketch:
+    """Fused numeric kernel: delegates every value batch to BOTH the exact
+    moments accumulator and the UDD quantile sketch, so profile_table's
+    numeric statistics come from ONE stacked scan + one blob shuffle
+    instead of two of each (r4 item 6; tagged-fill pattern of
+    spark.sketches.theta_set_ops, generalized to heterogeneous kernels).
+    Speaks the generic kernel protocol of spark.agg.partial_sketches:
+    update(ndarray) / merge / to_bytes / from_bytes / count."""
+
+    value_family = "numeric"
+
+    def __init__(self, alpha: float = 0.01, m: int = 512):
+        from ..core.moments import MomentsSketch
+        from ..core.uddsketch import UDDSketch
+
+        self.moments = MomentsSketch()
+        self.udd = UDDSketch(initial_alpha=alpha, m=m)
+
+    @property
+    def count(self) -> int:
+        return int(self.moments.n)
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.udd.num_buckets)
+
+    @property
+    def num_collapses(self) -> int:
+        return int(self.udd.num_collapses)
+
+    def update(self, values) -> "_NumericProfileSketch":
+        self.moments = self.moments.update(values)
+        self.udd = self.udd.update(values)
+        return self
+
+    def merge(self, other: "_NumericProfileSketch") -> "_NumericProfileSketch":
+        self.moments = self.moments.merge(other.moments)
+        self.udd = self.udd.merge(other.udd)
+        return self
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        mb = self.moments.to_bytes()
+        return struct.pack("<I", len(mb)) + mb + self.udd.to_bytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "_NumericProfileSketch":
+        import struct
+
+        from ..core.moments import MomentsSketch
+        from ..core.uddsketch import UDDSketch
+
+        (lm,) = struct.unpack_from("<I", data, 0)
+        sk = cls()
+        sk.moments = MomentsSketch.from_bytes(data[4:4 + lm])
+        sk.udd = UDDSketch.from_bytes(data[4 + lm:])
+        return sk
 
 
 def _stack(df: DataFrame, cols: Sequence[str], value_expr) -> DataFrame:
@@ -59,9 +120,7 @@ def profile_table(
     top_freq_err] — sorted by column name. Numeric-only fields are NULL for
     other dtypes."""
     from ..core.heavyhitters import MisraGries
-    from ..core.moments import MomentsSketch
     from ..core.theta import ThetaSketch
-    from ..core.uddsketch import UDDSketch
     from ..spark.agg import sketch_grouped
 
     cols = list(columns or df.columns)
@@ -81,23 +140,17 @@ def profile_table(
     ).first()
     n_total = counts["_n"]
 
-    # jobs 2+5: numeric moments and quantile sketches, one stacked fill each
+    # job 2: numeric moments AND quantile sketches in ONE fused stacked fill
     moments, udds = {}, {}
     if numeric:
         stacked = _stack(df, numeric, lambda c: F.col(c).cast("double"))
-        moments = {
-            r["feature"]: MomentsSketch.from_bytes(r["state"])
-            for r in sketch_grouped(
-                stacked, "v", ["feature"], MomentsSketch, MomentsSketch.from_bytes
-            ).collect()
-        }
-        udds = {
-            r["feature"]: UDDSketch.from_bytes(r["state"])
-            for r in sketch_grouped(
-                stacked, "v", ["feature"],
-                lambda: UDDSketch(initial_alpha=0.01, m=512), UDDSketch.from_bytes,
-            ).collect()
-        }
+        for r in sketch_grouped(
+            stacked, "v", ["feature"],
+            _NumericProfileSketch, _NumericProfileSketch.from_bytes,
+        ).collect():
+            fused = _NumericProfileSketch.from_bytes(r["state"])
+            moments[r["feature"]] = fused.moments
+            udds[r["feature"]] = fused.udd
 
     # jobs 3+4: distinct + top value over stringified columns, stacked fills
     sstacked = _stack(df, cols, lambda c: F.col(c).cast("string"))

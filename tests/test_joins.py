@@ -146,3 +146,72 @@ def test_bloom_probe_decimal_keys_and_unsupported_dtype(spark):
     )
     with _pytest.raises(ValueError, match="unsupported key dtype"):
         bloom_probe(ts_fact, "t", bloom_key_filter(ts_fact, "t"))
+
+
+def test_bloom_join_multi_column_key(spark):
+    """Two-column keys compose through xxhash64 on both scans: the filtered
+    join is row-identical to the plain join, and the semi flavor agrees."""
+    rng = np.random.default_rng(41)
+    fact = spark.createDataFrame(
+        [(int(a), f"s{int(b)}", float(v)) for a, b, v in zip(
+            rng.integers(0, 40, 8_000), rng.integers(0, 25, 8_000),
+            rng.normal(0, 1, 8_000).round(6))],
+        "k1 long, k2 string, v double",
+    )
+    dim = spark.createDataFrame(
+        [(int(a), f"s{int(b)}", f"d{j}") for j, (a, b) in enumerate(zip(
+            rng.integers(0, 40, 30), rng.integers(0, 25, 30)))],
+        "k1 long, k2 string, name string",
+    ).dropDuplicates(["k1", "k2"])
+    plain = sorted(fact.join(dim, ["k1", "k2"]).collect())
+    filtered = sorted(
+        bloom_filtered_join(fact, dim, ["k1", "k2"], fpr=0.01).collect())
+    assert filtered == plain and len(plain) > 0
+    semi = bloom_filtered_join(fact, dim, ["k1", "k2"], how="left_semi")
+    assert semi.count() == fact.join(dim, ["k1", "k2"], "left_semi").count()
+
+
+def test_bloom_join_dim_key_arity_mismatch_raises(spark):
+    fact, dim = _tables(spark)
+    with pytest.raises(ValueError, match="one column per fact key"):
+        bloom_filtered_join(fact, dim, ["k"], dim_key=["k", "name"])
+
+
+def test_range_join_left_single_join_plan_and_two_col_by(spark):
+    """how='left' must plan as ONE join over the grid (no distinct, no
+    anti-join second pass over the points — r4 review item 5), and a
+    two-column by key matches DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from puddsketch_spark.ops.joins import range_join
+
+    rng = np.random.default_rng(43)
+    pts = pd.DataFrame({
+        "g1": rng.integers(0, 3, 300), "g2": rng.integers(0, 2, 300),
+        "v": np.round(rng.uniform(0, 60, 300), 3), "pid": np.arange(300),
+    })
+    starts = np.round(rng.uniform(0, 55, 40), 3)
+    ivs = pd.DataFrame({
+        "g1": rng.integers(0, 3, 40), "g2": rng.integers(0, 2, 40),
+        "start": starts, "end": np.round(starts + rng.uniform(1, 15, 40), 3),
+        "iid": np.arange(40),
+    })
+    out = range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        point_col="v", by=["g1", "g2"], how="left",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan and "Union" not in plan, plan
+    n_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin")
+    assert n_joins == 1, plan
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("i", ivs)
+    exp = sorted(con.sql(
+        "SELECT pid, iid FROM p LEFT JOIN i ON p.g1 = i.g1 AND p.g2 = i.g2 "
+        "AND p.v >= i.start AND p.v < i.end"
+    ).fetchall())
+    assert got == exp and len(exp) >= 300

@@ -788,6 +788,38 @@ def test_profile_table_summarize(spark):
     assert prof["cat"].top_freq_err == 0  # k=64 >> cardinality: exact counts
 
 
+def test_profile_table_job_count_constant_in_columns(spark):
+    """The fused moments+UDD kernel keeps the profile at FOUR actions
+    (counts, fused numeric fill, theta, MG) however many columns the table
+    has (r4 item 6 collapsed the former separate moments and UDD scans).
+    AQE splits each shuffle query into several Spark jobs, so the pinned
+    property is job count CONSTANT in column count — and strictly fewer
+    jobs than the same profile plus one extra numeric scan would need."""
+    from puddsketch_spark.ops.profile import profile_table
+
+    rows = [(i, float(i) * 1.5, -float(i), f"c{i % 3}", i % 7)
+            for i in range(1, 400)]
+    df = spark.createDataFrame(
+        rows, "id long, v double, neg double, cat string, bucket long")
+    sc = spark.sparkContext
+
+    def jobs_for(frame, group):
+        sc.setJobGroup(group, "profile_table job audit")
+        try:
+            out = {r.column: r for r in profile_table(frame).collect()}
+        finally:
+            sc.setJobGroup("", "")
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    prof, n5 = jobs_for(df, "profile-5col")
+    _, n2 = jobs_for(df.select("v", "cat"), "profile-2col")
+    assert n5 == n2, (n5, n2)
+    # and the fused states finalize identically to the split kernels
+    assert prof["v"].mean == pytest.approx(300.0) and prof["v"].n_null == 0
+    assert abs(prof["v"].p50 - 1.5 * 200) / (1.5 * 200) <= 0.02
+    assert prof["neg"].p50 == 0.0  # negatives sit in the UDD zero bucket
+
+
 def test_dataset_diff_snapshots(spark):
     """Snapshot diff: exact-mode id churn matches true kept/added/removed,
     KS flags the shifted column and not the stable one, moment deltas."""
