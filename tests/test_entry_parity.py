@@ -103,6 +103,26 @@ def test_documented_query_count():
     )
 
 
+def test_documented_bench_headline_matches_artifact():
+    """SURVEY's quoted bench headline must equal the committed
+    BENCH/last_run.json (r4 item 3: the prose 27.3s figure drifted from
+    the shipped artifact; both files are now committed together and this
+    pin makes silent divergence fail the suite)."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    survey = (root / "SURVEY.md").read_text()
+    m = re.search(r"headline sum ([0-9.]+) s over (\d+) timed entries", survey)
+    assert m, "SURVEY no longer quotes the bench headline"
+    art = json.loads((root / "BENCH" / "last_run.json").read_text())
+    assert float(m.group(1)) == art["value"], (
+        f"SURVEY quotes {m.group(1)}s but BENCH/last_run.json has {art['value']}s"
+    )
+    assert int(m.group(2)) == len(art["queries"])
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() >= 0
