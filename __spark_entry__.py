@@ -2921,6 +2921,135 @@ FROM documents
 """
 
 
+def _semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table (exact
+    engine — the oracle-replayable path; engine='ivf' is the cluster-scale
+    candidate-generation path, recall-tested in
+    tests/test_redact_semantic.py). Survivors = vectors with no lower-id
+    neighbor at cosine >= 0.4; both engines accumulate the cosine
+    left-to-right in double (Spark zip_with/aggregate vs DuckDB
+    list_cosine_similarity on DOUBLE[]), and the nearest pair cosine sits
+    1.3e-4 from the threshold at sf0.01, so float noise cannot flip a
+    pair. Reports survivor counts per label."""
+    from puddsketch_spark.ops.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    surv = semantic_dedup(emb, threshold=0.4)
+    return (
+        surv.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+        .orderBy("label")
+    )
+
+
+_SEMDEDUP_SQL = """
+WITH dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_survivors
+FROM embeddings ANTI JOIN dropped USING (vec_id)
+GROUP BY label
+ORDER BY label
+"""
+
+
+def _pii_aug(doc: DataFrame) -> DataFrame:
+    """documents carry no natural PII, so DETERMINISTIC synthetic PII is
+    planted from doc_id — the oracle replays the identical construction, so
+    the regex machinery (Java regex vs RE2, the dialect-intersection
+    patterns of ops/redact.py) is what the parity check exercises."""
+    did = F.col("doc_id")
+    return doc.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.7")
+            )).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" card 4111-1111-1111-1111")).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+
+
+def _pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing report: per-kind match/document counts from ONE scan
+    (ops/redact.py::pii_stats — side-by-side regexp_extract_all counts,
+    single Tungsten agg) plus a 'chars_removed' row measuring the
+    redact_pii masking pass (total characters removed, documents
+    changed)."""
+    from puddsketch_spark.ops.redact import pii_stats, redact_pii
+
+    aug = _pii_aug(_t(spark, sf_dir, "documents"))
+    stats = pii_stats(aug, "t")
+    red = redact_pii(aug, "t", out="clean")
+    totals = red.agg(
+        F.sum(F.length("t") - F.length("clean")).alias("n_matches"),
+        F.sum((F.col("clean") != F.col("t")).cast("long")).alias("n_docs"),
+    ).select(F.lit("chars_removed").alias("kind"), "n_matches", "n_docs")
+    return stats.unionByName(totals)
+
+
+_PII_AUG_SQL = r"""
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END
+         AS t
+  FROM documents
+"""
+
+def _pii_patterns() -> dict[str, str]:
+    # single source of truth: the oracle SQL interpolates the EXACT pattern
+    # strings the Spark operator compiles (RE2/Java-regex intersection)
+    from puddsketch_spark.ops.redact import PII_PATTERNS
+
+    return dict(PII_PATTERNS)
+
+
+_PII_BOUNDED = _pii_patterns()
+
+_PII_SQL = (
+    "WITH aug AS (" + _PII_AUG_SQL + ")\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{kind}' AS kind,
+       CAST(SUM(len(regexp_extract_all(t, '{pat}'))) AS BIGINT) AS n_matches,
+       CAST(COUNT_IF(len(regexp_extract_all(t, '{pat}')) > 0) AS BIGINT) AS n_docs
+FROM aug"""
+        for kind, pat in _PII_BOUNDED.items()
+    )
+    + f"""
+UNION ALL
+SELECT 'chars_removed' AS kind,
+       CAST(SUM(len(t) - len(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           t, '{_PII_BOUNDED["card"]}', '[card]', 'g'),
+              '{_PII_BOUNDED["ssn"]}', '[ssn]', 'g'),
+              '{_PII_BOUNDED["phone"]}', '[phone]', 'g'),
+              '{_PII_BOUNDED["email"]}', '[email]', 'g'),
+              '{_PII_BOUNDED["ipv4"]}', '[ipv4]', 'g')
+       )) AS BIGINT) AS n_matches,
+       CAST(COUNT_IF(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           t, '{_PII_BOUNDED["card"]}', '[card]', 'g'),
+              '{_PII_BOUNDED["ssn"]}', '[ssn]', 'g'),
+              '{_PII_BOUNDED["phone"]}', '[phone]', 'g'),
+              '{_PII_BOUNDED["email"]}', '[email]', 'g'),
+              '{_PII_BOUNDED["ipv4"]}', '[ipv4]', 'g') <> t
+       ) AS BIGINT) AS n_docs
+FROM aug
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks a positional
     # prefix (~50) of this registry. Entries not yet holding a driver-green
@@ -2947,6 +3076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix_report": _dataset_mix_report,
         "pack_sequences_report": _pack_sequences_report,
         "winnowing_dup_detection": _winnowing_dup_detection,
+        "pii_redaction_stats": _pii_redaction_stats,
+        "semantic_dedup_survivors": _semantic_dedup_survivors,
         "udds_quantile_global": _udds_global,
         "udds_quantile_by_flag": _udds_by_flag,
         "udds_quantile_protocol99": _udds_quantile_protocol99,
@@ -3070,4 +3201,6 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mix_report": _MIX_SQL,
         "pack_sequences_report": _PACK_SQL,
         "winnowing_dup_detection": _WINNOW_SQL,
+        "pii_redaction_stats": _PII_SQL,
+        "semantic_dedup_survivors": _SEMDEDUP_SQL,
     }

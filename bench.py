@@ -106,6 +106,8 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "moments_price_by_flag",
         "range_join_value_bands",
         "tfidf_top_terms",
+        "pii_redaction_stats",
+        "semantic_dedup_survivors",
     ]:
         record(name, lambda name=name: qs[name](spark, sf_dir).count())
 

@@ -27,6 +27,7 @@ __all__ = [
     "kmeans_centroids",
     "matrix_dots",
     "random_centroids",
+    "semantic_dedup",
 ]
 
 # above this many literal plane/centroid coefficients the Catalyst expression
@@ -206,6 +207,133 @@ def ivf_assign(
     return df.withColumn("_dots", dots).withColumn(
         out, (F.array_position(F.col("_dots"), F.array_max("_dots")) - 1).cast("int")
     ).drop("_dots")
+
+
+def _cosine_cols(a: str, b: str) -> Column:
+    """Sequential (left-to-right) cosine between two array columns, cast to
+    double per element — the SAME accumulation order DuckDB's
+    list_cosine_similarity uses, so the oracle agrees bit-for-bit away from
+    pathological cancellation."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (_norm(a) * _norm(b))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    engine: str = "exact",
+    centroids: np.ndarray | None = None,
+    n_cells: int = 64,
+    n_probe: int = 2,
+    max_exact: int = 20_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate removal over an embedding column: drop
+    every vector that has a LOWER-id neighbor with cosine >= ``threshold``;
+    survivors keep their full row. (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication" —
+    cluster-then-dedup; the reference engine has no embedding operators, so
+    this extends the repo's dedup family: exact / MinHash / SimHash /
+    n-gram / hyperplane-LSH / semantic.)
+
+    engine="exact": all-pairs cosine as ONE Arrow-batched matmul per batch
+    against a broadcast (id, matrix) snapshot of the table — the
+    oracle-replayable path (float64 throughout; BLAS-vs-sequential
+    summation differs ~1e-15, far inside any sane threshold margin).
+    O(n^2) flops but a single scan; REFUSED above ``max_exact`` rows — an
+    all-pairs pass at corpus scale is a non-starter, which is what the ivf
+    engine is for (the bounded collect-and-broadcast is the same recipe
+    kmeans_centroids documents).
+    engine="ivf": every vector lands in its ``n_probe`` nearest coarse-
+    quantizer cells (multi-probe on the data side), candidate pairs are
+    generated per cell (quadratic only within a cell), deduped on (i, j),
+    then exact-cosine verified. Misses only pairs whose probe sets are
+    disjoint — recall is measured, not assumed (tests). Shuffles carry
+    (cell, id) rows plus vectors for the verify rejoin of candidates only.
+    """
+    if engine not in ("exact", "ivf"):
+        raise ValueError("engine must be 'exact' or 'ivf'")
+    if engine == "exact":
+        from typing import Iterator
+
+        rows = df.select(id_col, vec_col).collect()
+        n = len(rows)
+        if n > max_exact:
+            raise ValueError(
+                f"semantic_dedup(engine='exact') on {n} rows exceeds "
+                f"max_exact={max_exact}; use engine='ivf'"
+            )
+        ids = np.asarray([r[0] for r in rows])  # any orderable id dtype
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 to everything
+        matn = mat / norms
+        bc = df.sparkSession.sparkContext.broadcast((ids, matn))
+        thr = float(threshold)
+
+        def drop_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            all_ids, all_m = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                xn[xn == 0.0] = 1.0
+                sims = (x / xn) @ all_m.T  # (batch, n)
+                lower = (
+                    all_ids[None, :] < pdf[id_col].to_numpy()[:, None]
+                )
+                keep = ~((sims >= thr) & lower).any(axis=1)
+                yield pdf[keep]
+
+        return df.mapInPandas(drop_scan, schema=df.schema)
+    else:
+        a = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_va"))
+        b = df.select(F.col(id_col).alias("_j"), F.col(vec_col).alias("_vb"))
+        if centroids is None:
+            centroids = kmeans_centroids(
+                df, vec_col=vec_col, n_cells=n_cells, seed=seed
+            )
+        cents = np.asarray(centroids, dtype=np.float64)
+        dots = (
+            matrix_dots(vec_col, cents)
+            if cents.size > _MAX_CATALYST_COEFFS
+            else F.array(*[_dot_lit(vec_col, c) for c in cents])
+        )
+        # top-n_probe cell ids per vector: zip (dot, idx), sort desc, slice
+        zipped = F.arrays_zip(
+            dots.alias("d"),
+            F.sequence(F.lit(0), F.lit(cents.shape[0] - 1)).alias("c"),
+        )
+        probes = F.transform(
+            F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe),
+            lambda s: s["c"].cast("int"),
+        )
+        assigned = df.select(
+            F.col(id_col), F.explode(probes).alias("_cell")
+        )
+        ca = assigned.select(F.col(id_col).alias("_i"), "_cell")
+        cb = assigned.select(F.col(id_col).alias("_j"), "_cell")
+        cand = (
+            ca.join(cb, ["_cell"]).where(F.col("_i") < F.col("_j"))
+            .select("_i", "_j").distinct()
+        )
+        pairs = (
+            cand.join(a, "_i").join(b, "_j")
+            .where(_cosine_cols("_va", "_vb") >= F.lit(float(threshold)))
+        )
+        dropped = pairs.select(F.col("_j").alias(id_col)).distinct()
+    return df.join(dropped, [id_col], "left_anti")
 
 
 def ivf_topk(
