@@ -3050,6 +3050,55 @@ FROM aug
 )
 
 
+def _incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup (ops/dedup.py::dedup_against_corpus):
+    a synthetic 'daily batch' — verbatim copies of every doc_id%5 document
+    plus ' fresh'-suffixed variants of every doc_id%7 document — deduped
+    against the full documents corpus. Bloom pre-filter map-side, exact
+    digest verify of candidates only, broadcast anti join back: the new
+    batch never shuffles and the counts are EXACT (no false drops/keeps),
+    which is what the oracle checks."""
+    from puddsketch_spark.ops.dedup import dedup_against_corpus
+
+    doc = _t(spark, sf_dir, "documents")
+    dups = doc.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    fresh = doc.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+    )
+    new = dups.unionByName(fresh)
+    surv = dedup_against_corpus(new, doc)
+    n_new = new.count()
+    agg = surv.agg(
+        F.count(F.lit(1)).alias("n_novel"),
+        F.sum("doc_id").alias("sum_novel_ids"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_new, int(agg.n_novel), n_new - int(agg.n_novel),
+          int(agg.sum_novel_ids))],
+        "n_new long, n_novel long, n_dup long, sum_novel_ids long",
+    )
+
+
+_INCDEDUP_SQL = """
+WITH newb AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' fresh' FROM documents WHERE doc_id % 7 = 0
+),
+surv AS (
+  SELECT * FROM newb
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
+)
+SELECT CAST((SELECT COUNT(*) FROM newb) AS BIGINT) AS n_new,
+       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_novel,
+       CAST((SELECT COUNT(*) FROM newb) - (SELECT COUNT(*) FROM surv) AS BIGINT) AS n_dup,
+       CAST((SELECT SUM(doc_id) FROM surv) AS BIGINT) AS sum_novel_ids
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks a positional
     # prefix (~50) of this registry. Entries not yet holding a driver-green
@@ -3078,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dup_detection": _winnowing_dup_detection,
         "pii_redaction_stats": _pii_redaction_stats,
         "semantic_dedup_survivors": _semantic_dedup_survivors,
+        "incremental_dedup_check": _incremental_dedup_check,
         "udds_quantile_global": _udds_global,
         "udds_quantile_by_flag": _udds_by_flag,
         "udds_quantile_protocol99": _udds_quantile_protocol99,
@@ -3203,4 +3253,5 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_dup_detection": _WINNOW_SQL,
         "pii_redaction_stats": _PII_SQL,
         "semantic_dedup_survivors": _SEMDEDUP_SQL,
+        "incremental_dedup_check": _INCDEDUP_SQL,
     }

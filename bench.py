@@ -108,6 +108,7 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "tfidf_top_terms",
         "pii_redaction_stats",
         "semantic_dedup_survivors",
+        "incremental_dedup_check",
     ]:
         record(name, lambda name=name: qs[name](spark, sf_dir).count())
 

@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 from ..core.hashing import splitmix64
 
 __all__ = [
+    "dedup_against_corpus",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -62,6 +63,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     h = F.md5(F.col(text_col)).alias("_h")
     keep = df.select(h, F.col(id_col)).groupBy("_h").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def dedup_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    corpus_text_col: str | None = None,
+    fpr: float = 1e-3,
+) -> DataFrame:
+    """Incremental-ingestion dedup: rows of ``new`` whose exact text does
+    NOT already appear in ``corpus`` (the daily-batch-vs-existing-corpus
+    pattern — at 100 TB you cannot re-dedup the world per batch).
+
+    Shape: (1) one corpus scan fills a distributed mergeable Bloom filter
+    over md5(text) digests (~1.8 bits/key at 0.1% fpr — 10^10 docs fit in
+    ~2 GB, broadcastable); (2) the new batch probes it MAP-SIDE, so the
+    overwhelmingly-novel rows never shuffle; (3) only Bloom-positive
+    candidate digests (true dups + fpr of the batch) are exact-verified
+    with a semi join against the corpus digests, thinned by the broadcast
+    candidate set, eliminating false drops; (4) survivors = new minus the
+    confirmed-dup digests via a broadcast anti join — the new batch is
+    scanned once and never shuffled. Zero false drops AND zero false
+    keeps: Bloom has no false negatives, the exact verify removes its
+    false positives.
+    """
+    from .joins import bloom_key_filter, bloom_probe
+
+    corpus_text_col = corpus_text_col or text_col
+    cdig = corpus.select(F.md5(F.col(corpus_text_col)).alias("_dig"))
+    ndig = new.withColumn("_dig", F.md5(F.col(text_col)))
+    filt = bloom_key_filter(cdig, "_dig", fpr=fpr)
+    candidates = bloom_probe(ndig.select("_dig"), "_dig", filt).distinct()
+    confirmed = cdig.join(F.broadcast(candidates), "_dig", "left_semi").distinct()
+    return ndig.join(F.broadcast(confirmed), "_dig", "left_anti").drop("_dig")
 
 
 # ---------------------------------------------------------------- shingles

@@ -215,3 +215,37 @@ def test_range_join_left_single_join_plan_and_two_col_by(spark):
         "AND p.v >= i.start AND p.v < i.end"
     ).fetchall())
     assert got == exp and len(exp) >= 300
+
+
+def test_dedup_against_corpus_exact_and_no_false_drops(spark):
+    """Incremental dedup: survivors are exactly the novel texts; a
+    deliberately terrible Bloom (fpr=0.5) floods the verify stage with
+    false positives and the exact semi join still removes none of the
+    novel rows (zero false drops, zero false keeps)."""
+    from puddsketch_spark.ops.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(300)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"doc body {i}") for i in range(0, 100, 2)]      # 50 dups
+        + [(2000 + i, f"fresh body {i}") for i in range(80)],         # 80 novel
+        "doc_id long, text string",
+    )
+    for fpr in (1e-3, 0.5):
+        out = dedup_against_corpus(new, corpus, fpr=fpr)
+        ids = sorted(r.doc_id for r in out.collect())
+        assert ids == sorted(2000 + i for i in range(80)), fpr
+        assert out.columns == new.columns  # digest column dropped
+
+    # scale-plan pin: the batch itself never shuffles — the final anti
+    # join is BROADCAST, and every Exchange in the plan carries only the
+    # candidate digest column (the thin verify stage), never batch rows
+    import re
+
+    plan = (dedup_against_corpus(new, corpus)
+            ._jdf.queryExecution().executedPlan().toString())
+    anti = [ln for ln in plan.split("\n") if "LeftAnti" in ln]
+    assert anti and "BroadcastHashJoin" in anti[0], plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).startswith("_dig"), m.group(0)
