@@ -193,3 +193,53 @@ def test_moments_merge_commutative_and_conserving(a, b):
         whole = MomentsSketch().update(both)
         scale = max(1.0, abs(whole.m2), (vscale * 1e-6) ** 2)
         assert abs(ab.m2 - whole.m2) <= 1e-6 * scale
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=arr_any, b=arr_any)
+def test_ddpair_ks_distance_properties(a, b):
+    """Signed KS: range [0,1], symmetric, zero against self, NaN iff a side
+    is empty, and invariant under merge order of the inputs (the statistic
+    is a pure function of the two bucketed distributions)."""
+    import math
+
+    sa = DDSketchPair(initial_alpha=0.01, m=0).update(a)
+    sb = DDSketchPair(initial_alpha=0.01, m=0).update(b)
+    ks = sa.ks_distance(sb)
+    if len(a) == 0 or len(b) == 0:
+        assert math.isnan(ks)
+        return
+    assert 0.0 <= ks <= 1.0
+    assert ks == sb.ks_distance(sa)
+    assert sa.ks_distance(sa) == 0.0
+    # splitting a side and merging the halves cannot change the statistic
+    half = len(a) // 2
+    sa2 = (DDSketchPair(initial_alpha=0.01, m=0).update(a[:half])
+           .merge(DDSketchPair(initial_alpha=0.01, m=0).update(a[half:])))
+    assert sa2.ks_distance(sb) == ks
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    mu=st.floats(min_value=-1.0, max_value=2.0),
+    shift=st.floats(min_value=0.0, max_value=2.0),
+    neg_frac=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ddpair_ks_close_to_exact_two_sample(mu, shift, neg_frac, seed):
+    """Against generated mixed-sign distributions the sketched KS tracks the
+    exact two-sample statistic to bucket granularity."""
+    rng = np.random.default_rng(seed)
+    n = 1500
+    k = int(n * neg_frac)
+    a = np.concatenate([-rng.lognormal(mu, 1, k), rng.lognormal(mu, 1, n - k)])
+    b = np.concatenate([
+        -rng.lognormal(mu + shift, 1, k), rng.lognormal(mu + shift, 1, n - k)
+    ])
+    allv = np.sort(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), allv, side="right") / a.size
+    cb = np.searchsorted(np.sort(b), allv, side="right") / b.size
+    exact = float(np.abs(ca - cb).max())
+    sa = DDSketchPair(initial_alpha=0.01, m=0).update(a)
+    sb = DDSketchPair(initial_alpha=0.01, m=0).update(b)
+    assert abs(sa.ks_distance(sb) - exact) <= 0.05
