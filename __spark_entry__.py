@@ -1426,24 +1426,28 @@ def _heavy_hitters_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = sketch_global(orders, "o_custkey", lambda: MisraGries(k=k),
                        MisraGries.from_bytes)
     retained = {int(key): int(c) for key, c in sk.counters.items()}
-    n = orders.count()
+    # ONE exact per-key aggregation serves every check below (the bracket
+    # verify, the n anchor, and the superset threshold each used to rescan
+    # and reshuffle orders separately); the persisted table is one row per
+    # distinct customer — tiny relative to orders
+    counts = orders.groupBy("o_custkey").count().persist()
+    n = int(counts.agg(F.sum("count")).first()[0])
     # exact counts for the retained keys only (a 64-key isin filter — the
     # verification stays distributed, nothing unbounded reaches the driver)
     exact = {
         r[0]: r[1]
-        for r in orders.where(F.col("o_custkey").isin(list(retained)))
-        .groupBy("o_custkey").count().collect()
+        for r in counts.where(F.col("o_custkey").isin(list(retained))).collect()
     }
     bracket_ok = all(
         retained[key] <= exact.get(key, 0) <= retained[key] + sk.err
         for key in retained
     )
     # every key above the n/(k+1) guarantee threshold must be retained
-    heavy = (
-        orders.groupBy("o_custkey").count()
-        .where(F.col("count") > F.lit(n / (k + 1)))
+    missed = (
+        counts.where(F.col("count") > F.lit(n / (k + 1)))
+        .where(~F.col("o_custkey").isin(list(retained))).count()
     )
-    missed = heavy.where(~F.col("o_custkey").isin(list(retained))).count()
+    counts.unpersist()
     return spark.createDataFrame(
         [(k, int(n), bool(len(retained) <= k), bool(sk.err > 0),
           bool(bracket_ok), bool(missed == 0))],
