@@ -5,7 +5,7 @@ jumping components, codegen'd scoring).
 
     normalize -> exact dedup (on normalized text) -> [minhash near-dup
     dedup] -> [corpus line dedup] -> [benchmark decontamination] ->
-    quality filter
+    quality filter -> [PII redaction]
 
 Returns the curated DataFrame plus a small stats dict (driver-side counts,
 one job per stage boundary) for pipeline reports.
@@ -34,6 +34,8 @@ def curate_documents(
     line_dedup_max_df: int | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
+    redact: bool = False,
+    pii_kinds=None,
     with_stats: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Curate a document table; returns (curated_df, stats).
@@ -50,6 +52,10 @@ def curate_documents(
       pre-filter + exact verify).
     * quality stage: heuristic score (length/alpha/word-length/symbol
       bands), keep score >= quality_threshold.
+    * redaction stage (optional, ``redact=True``): PII masking of the
+      SURVIVING text only (chained regexp_replace, ops/redact.py) — runs
+      last so no cycles are spent scrubbing documents that get dropped;
+      ``pii_kinds`` narrows the pattern set.
 
     The curated frame keeps the input columns plus ``quality``. Stats are
     exact driver-side counts per stage (skip with with_stats=False to keep
@@ -117,4 +123,15 @@ def curate_documents(
     curated = scored.where(F.col("quality") >= quality_threshold).drop("_tnorm")
     if with_stats:
         stats["n_curated"] = curated.count()
+    if redact:
+        from .redact import redact_pii
+
+        if with_stats:
+            masked = redact_pii(curated, text_col, kinds=pii_kinds, out="_red")
+            stats["n_redacted_docs"] = masked.where(
+                F.col("_red") != F.col(text_col)
+            ).count()
+            curated = masked.withColumn(text_col, F.col("_red")).drop("_red")
+        else:
+            curated = redact_pii(curated, text_col, kinds=pii_kinds)
     return curated, stats

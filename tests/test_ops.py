@@ -547,6 +547,31 @@ def test_curation_pipeline_fuzzy(spark):
     assert all(r.quality >= 0.5 for r in curated.collect())
 
 
+def test_curation_pipeline_redaction_stage(spark):
+    """redact=True masks PII in the SURVIVING text only, reports how many
+    docs were touched, and leaves the schema otherwise unchanged."""
+    from puddsketch_spark.ops.pipeline import curate_documents
+
+    rows = [
+        Row(doc_id=0, text="a long enough clean document about spark "
+                           "pipelines and mergeable sketch aggregation"),
+        Row(doc_id=1, text="another long document mentioning admin@corp.io "
+                           "and the host 10.1.2.3 for on call escalation"),
+        Row(doc_id=2, text="###"),  # junk, dropped before redaction
+    ]
+    curated, stats = curate_documents(
+        spark.createDataFrame(rows), quality_threshold=0.5, fuzzy=False,
+        redact=True,
+    )
+    out = {r.doc_id: r.text for r in curated.collect()}
+    assert stats["n_redacted_docs"] == 1
+    assert "[email]" in out[1] and "[ipv4]" in out[1]
+    assert "admin@corp.io" not in out[1]
+    assert out[0].startswith("a long enough clean")
+    assert 2 not in out
+    assert "quality" in curated.columns
+
+
 def test_stratified_sample_deterministic_and_exact(spark):
     from puddsketch_spark.ops.sampling import stratified_sample, weighted_mix
 
