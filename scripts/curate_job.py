@@ -1,0 +1,127 @@
+"""spark-submit entry point: end-to-end document-curation job.
+
+Runs the full curation composition (ops/pipeline.py) over a document table
+— exact + fuzzy dedup, optional corpus line-dedup, optional benchmark
+decontamination, quality filter, optional PII redaction — plus the
+standalone stages the pipeline does not fold in: incremental dedup against
+an existing corpus (--against) and semantic dedup over an embedding table
+(--embeddings). Writes the curated table as parquet and prints one JSON
+stats line.
+
+Usage (cluster):
+    spark-submit --py-files puddsketch_spark.zip scripts/curate_job.py \
+        --input s3://bucket/docs --output s3://bucket/curated \
+        --fuzzy --line-dedup-max-df 100 \
+        --benchmark s3://bucket/benchmarks --redact \
+        --against s3://bucket/existing-corpus
+
+Usage (local smoke):
+    python scripts/curate_job.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/curated --redact
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="puddsketch_spark curation job")
+    p.add_argument("--input", required=True, help="parquet path of the document table")
+    p.add_argument("--output", required=True, help="parquet path for the curated table")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--quality-threshold", type=float, default=0.5)
+    p.add_argument("--fuzzy", action="store_true", help="minhash/LSH near-dup stage")
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--jaccard-threshold", type=float, default=0.9)
+    p.add_argument("--line-dedup-max-df", type=int, default=None,
+                   help="strip lines occurring in more than this many docs")
+    p.add_argument("--benchmark", default=None,
+                   help="parquet path of benchmark texts to decontaminate against")
+    p.add_argument("--decontam-n", type=int, default=8)
+    p.add_argument("--redact", action="store_true", help="PII-mask surviving text")
+    p.add_argument("--pii-kinds", nargs="*", default=None)
+    p.add_argument("--against", default=None,
+                   help="parquet path of an existing corpus; drop new docs whose "
+                        "text already appears there (Bloom + exact verify)")
+    p.add_argument("--against-fpr", type=float, default=1e-3)
+    p.add_argument("--embeddings", default=None,
+                   help="parquet path of (id, embedding) rows; semantic dedup "
+                        "survivors join back by --id-col")
+    p.add_argument("--semantic-threshold", type=float, default=0.9)
+    p.add_argument("--semantic-engine", choices=["exact", "ivf"], default="ivf")
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from puddsketch_spark.ops.pipeline import curate_documents
+    from puddsketch_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="curate_job", master=f"local[{args.cpus}]"
+                      if not os.environ.get("SPARK_GRAFT_CLUSTER") else None)
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    stats: dict = {}
+
+    if args.against:
+        from puddsketch_spark.ops.dedup import dedup_against_corpus
+
+        corpus = spark.read.parquet(args.against)
+        before = df.count()
+        df = dedup_against_corpus(df, corpus, text_col=args.text_col,
+                                  fpr=args.against_fpr)
+        stats["n_input_batch"] = before
+        stats["n_after_incremental"] = df.count()
+
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    curated, pstats = curate_documents(
+        df,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        quality_threshold=args.quality_threshold,
+        fuzzy=args.fuzzy,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        jaccard_threshold=args.jaccard_threshold,
+        line_dedup_max_df=args.line_dedup_max_df,
+        benchmark=benchmark,
+        decontam_n=args.decontam_n,
+        redact=args.redact,
+        pii_kinds=args.pii_kinds,
+    )
+    stats.update(pstats)
+
+    if args.embeddings:
+        from pyspark.sql import functions as F
+
+        from puddsketch_spark.ops.similarity import semantic_dedup
+
+        emb = spark.read.parquet(args.embeddings)
+        emb_id = emb.columns[0]
+        keep = semantic_dedup(
+            emb, id_col=emb_id, threshold=args.semantic_threshold,
+            engine=args.semantic_engine,
+        ).select(F.col(emb_id).alias(args.id_col))
+        curated = curated.join(keep, args.id_col, "left_semi")
+        stats["n_after_semantic"] = curated.count()
+
+    curated.write.mode("overwrite").parquet(args.output)
+    stats["wall_sec"] = round(time.time() - t0, 3)
+    stats["output"] = args.output
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
