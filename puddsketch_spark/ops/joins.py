@@ -34,11 +34,21 @@ def bloom_key_filter(
     build: DataFrame, key_col: str, fpr: float = 0.01, expected: int | None = None
 ) -> BloomFilter:
     """Distributed Bloom fill over ``build``'s keys (driver-side filter
-    object, ~1.2 bytes/key at 1% fpr — broadcastable up to ~10^9 keys)."""
+    object, ~1.2 bytes/key at 1% fpr — broadcastable up to ~10^9 keys).
+
+    Sizing uses ``approx_count_distinct`` (Tungsten HLL++, partial-agg
+    map-side — no shuffle of raw keys) unless ``expected`` is given: the
+    count only picks num_bits, and a few percent of sizing error moves the
+    realized fpr marginally while false negatives stay impossible, so an
+    exact COUNT(DISTINCT) — a full shuffle of the build side at scale —
+    buys nothing. The 1.1x headroom absorbs HLL++'s underestimate tail."""
     from ..spark.agg import sketch_global
 
     if expected is None:
-        expected = build.select(key_col).distinct().count()
+        est = build.agg(
+            F.approx_count_distinct(key_col).alias("d")
+        ).first()["d"]
+        expected = int(est * 1.1) + 1
     num_bits, num_hashes = optimal_params(max(expected, 64), fpr=fpr)
     return sketch_global(
         build,
