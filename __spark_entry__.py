@@ -1431,7 +1431,9 @@ def _heavy_hitters_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and reshuffle orders separately); the persisted table is one row per
     # distinct customer — tiny relative to orders
     counts = orders.groupBy("o_custkey").count().persist()
-    n = int(counts.agg(F.sum("count")).first()[0])
+    # SUM over zero rows is NULL — an empty orders table must report n=0,
+    # not crash the gate row
+    n = int(counts.agg(F.sum("count")).first()[0] or 0)
     # exact counts for the retained keys only (a 64-key isin filter — the
     # verification stays distributed, nothing unbounded reaches the driver)
     exact = {

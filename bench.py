@@ -310,7 +310,13 @@ def main() -> None:
         json.dump(result, f, indent=2)
     compact = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf")}
     line = json.dumps(compact)
-    assert len(line) < 1800, f"bench line {len(line)}B outgrew the tail window"
+    if len(line) >= 1800:
+        # never abort a completed run (and never replace the line with a
+        # traceback the driver can't parse) — ship it and warn; _load_round
+        # can partially recover a truncated line, a traceback recovers
+        # nothing. Not an assert: python -O would silently drop that.
+        print(f"WARNING: bench line {len(line)}B may outgrow the driver's "
+              "tail window; trim the query set", file=sys.stderr)
     sys.stdout.flush()
     print(line)
     sys.stdout.flush()

@@ -51,11 +51,10 @@ def dataset_diff(
     line for columns that go negative.
     """
     from ..core.ddsketch import DDSketchPair
-    from ..core.moments import MomentsSketch
     from ..core.theta import ThetaSketch
     from ..core.uddsketch import UDDSketch
     from ..spark.agg import sketch_global, sketch_grouped
-    from .profile import _stack
+    from .profile import _stack, fused_moments_quantile
 
     if signed:
         q_factory = lambda: DDSketchPair(initial_alpha=alpha, m=0)  # noqa: E731
@@ -63,6 +62,10 @@ def dataset_diff(
     else:
         q_factory = lambda: UDDSketch(initial_alpha=alpha, m=0)  # noqa: E731
         q_from_bytes = UDDSketch.from_bytes
+    # moments + quantile sketch fill in ONE fused stacked pass per side
+    # (the same composite kernel profile_table uses), keeping the module
+    # contract — "the diff costs two scans" — literal: theta + fused
+    factory, from_bytes = fused_moments_quantile(q_factory, q_from_bytes)
 
     def stacked(df: DataFrame) -> DataFrame:
         return _stack(df, value_cols, lambda c: F.col(c).cast("double"))
@@ -71,19 +74,13 @@ def dataset_diff(
         th = sketch_global(
             df, id_col, lambda: ThetaSketch(k=theta_k), ThetaSketch.from_bytes
         )
-        st = stacked(df)
-        mom = {
-            r["feature"]: MomentsSketch.from_bytes(r["state"])
-            for r in sketch_grouped(
-                st, "v", ["feature"], MomentsSketch, MomentsSketch.from_bytes
-            ).collect()
-        }
-        udd = {
-            r["feature"]: q_from_bytes(r["state"])
-            for r in sketch_grouped(
-                st, "v", ["feature"], q_factory, q_from_bytes
-            ).collect()
-        }
+        mom, udd = {}, {}
+        for r in sketch_grouped(
+            stacked(df), "v", ["feature"], factory, from_bytes
+        ).collect():
+            fused = from_bytes(r["state"])
+            mom[r["feature"]] = fused.moments
+            udd[r["feature"]] = fused.q
         return th, mom, udd
 
     th_o, mom_o, udd_o = fills(old)

@@ -33,23 +33,25 @@ __all__ = ["profile_table"]
 _NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "double", "float", "decimal")
 
 
-class _NumericProfileSketch:
+class _FusedMomentsQuantile:
     """Fused numeric kernel: delegates every value batch to BOTH the exact
-    moments accumulator and the UDD quantile sketch, so profile_table's
-    numeric statistics come from ONE stacked scan + one blob shuffle
-    instead of two of each (r4 item 6; tagged-fill pattern of
-    spark.sketches.theta_set_ops, generalized to heterogeneous kernels).
-    Speaks the generic kernel protocol of spark.agg.partial_sketches:
-    update(ndarray) / merge / to_bytes / from_bytes / count."""
+    moments accumulator and a caller-chosen quantile sketch, so one stacked
+    scan + one blob shuffle serves two statistics families (r4 item 6;
+    tagged-fill pattern of spark.sketches.theta_set_ops, generalized to
+    heterogeneous kernels). Speaks the generic kernel protocol of
+    spark.agg.partial_sketches: update(ndarray) / merge / to_bytes /
+    count. Construct via :func:`fused_moments_quantile`, which also
+    provides the matching from_bytes."""
 
     value_family = "numeric"
 
-    def __init__(self, alpha: float = 0.01, m: int = 512):
+    def __init__(self, q_factory, q_from_bytes):
         from ..core.moments import MomentsSketch
-        from ..core.uddsketch import UDDSketch
 
+        self._q_factory = q_factory
+        self._q_from_bytes = q_from_bytes
         self.moments = MomentsSketch()
-        self.udd = UDDSketch(initial_alpha=alpha, m=m)
+        self.q = q_factory()
 
     @property
     def count(self) -> int:
@@ -57,40 +59,49 @@ class _NumericProfileSketch:
 
     @property
     def num_buckets(self) -> int:
-        return int(self.udd.num_buckets)
+        return int(getattr(self.q, "num_buckets", 0))
 
     @property
     def num_collapses(self) -> int:
-        return int(self.udd.num_collapses)
+        return int(getattr(self.q, "num_collapses", 0))
 
-    def update(self, values) -> "_NumericProfileSketch":
+    def update(self, values) -> "_FusedMomentsQuantile":
         self.moments = self.moments.update(values)
-        self.udd = self.udd.update(values)
+        self.q = self.q.update(values)
         return self
 
-    def merge(self, other: "_NumericProfileSketch") -> "_NumericProfileSketch":
+    def merge(self, other: "_FusedMomentsQuantile") -> "_FusedMomentsQuantile":
         self.moments = self.moments.merge(other.moments)
-        self.udd = self.udd.merge(other.udd)
+        self.q = self.q.merge(other.q)
         return self
 
     def to_bytes(self) -> bytes:
         import struct
 
         mb = self.moments.to_bytes()
-        return struct.pack("<I", len(mb)) + mb + self.udd.to_bytes()
+        return struct.pack("<I", len(mb)) + mb + self.q.to_bytes()
 
-    @classmethod
-    def from_bytes(cls, data: bytes) -> "_NumericProfileSketch":
-        import struct
 
-        from ..core.moments import MomentsSketch
-        from ..core.uddsketch import UDDSketch
+def fused_moments_quantile(q_factory, q_from_bytes):
+    """(factory, from_bytes) pair for the fused moments+quantile kernel,
+    parameterized by the quantile flavor — UDD for profile_table, the
+    signed DDSketch pair for dataset_diff(signed=True). Both consumers
+    share one stacked scan per statistics pass instead of two."""
+    import struct
 
+    from ..core.moments import MomentsSketch
+
+    def factory() -> _FusedMomentsQuantile:
+        return _FusedMomentsQuantile(q_factory, q_from_bytes)
+
+    def from_bytes(data: bytes) -> _FusedMomentsQuantile:
         (lm,) = struct.unpack_from("<I", data, 0)
-        sk = cls()
+        sk = factory()
         sk.moments = MomentsSketch.from_bytes(data[4:4 + lm])
-        sk.udd = UDDSketch.from_bytes(data[4 + lm:])
+        sk.q = q_from_bytes(data[4 + lm:])
         return sk
+
+    return factory, from_bytes
 
 
 def _stack(df: DataFrame, cols: Sequence[str], value_expr) -> DataFrame:
@@ -143,14 +154,18 @@ def profile_table(
     # job 2: numeric moments AND quantile sketches in ONE fused stacked fill
     moments, udds = {}, {}
     if numeric:
+        from ..core.uddsketch import UDDSketch
+
+        factory, from_bytes = fused_moments_quantile(
+            lambda: UDDSketch(initial_alpha=0.01, m=512), UDDSketch.from_bytes
+        )
         stacked = _stack(df, numeric, lambda c: F.col(c).cast("double"))
         for r in sketch_grouped(
-            stacked, "v", ["feature"],
-            _NumericProfileSketch, _NumericProfileSketch.from_bytes,
+            stacked, "v", ["feature"], factory, from_bytes
         ).collect():
-            fused = _NumericProfileSketch.from_bytes(r["state"])
+            fused = from_bytes(r["state"])
             moments[r["feature"]] = fused.moments
-            udds[r["feature"]] = fused.udd
+            udds[r["feature"]] = fused.q
 
     # jobs 3+4: distinct + top value over stringified columns, stacked fills
     sstacked = _stack(df, cols, lambda c: F.col(c).cast("string"))

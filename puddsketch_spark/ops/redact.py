@@ -28,7 +28,12 @@ __all__ = ["PII_PATTERNS", "redact_pii", "pii_stats"]
 PII_PATTERNS: Mapping[str, str] = {
     "card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    # phone deliberately excludes SPACE separators and is \b-anchored: a
+    # '\d{3}[-. ]...' with spaces masks ordinary numeric prose ('revenue
+    # 100 200 3000') and can start mid-digit-run; RE2 has no lookbehind,
+    # so \b after the optional '+' is the strongest anchor both engines
+    # share ('+' to digit is a word boundary, so '+555-...' still matches)
+    "phone": r"\+?\b\d{3}[-.]\d{3}[-.]\d{4}\b",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }

@@ -142,7 +142,9 @@ def kmeans_centroids(
             f"kmeans_centroids: sample ({x.shape[0]}) smaller than n_cells "
             f"({n_cells}); raise sample_size or lower n_cells"
         )
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vectors stay zero, not NaN rows
+    x /= norms
     rng = np.random.default_rng(seed)
     # k-means++ seeding on (1 - cos)^2
     cents = [x[rng.integers(x.shape[0])]]
@@ -220,7 +222,9 @@ def _cosine_cols(a: str, b: str) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return dot / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector must yield NULL cosine (filtered by
+    # every comparison), not an ANSI DIVIDE_BY_ZERO job failure
+    return F.try_divide(dot, _norm(a) * _norm(b))
 
 
 def semantic_dedup(
@@ -263,12 +267,15 @@ def semantic_dedup(
     if engine == "exact":
         from typing import Iterator
 
-        rows = df.select(id_col, vec_col).collect()
+        # limit(max_exact+1) bounds what can EVER reach the driver — the
+        # size guard must fire before the collect absorbs the table, not
+        # after (a bare collect-then-count would OOM the driver first)
+        rows = df.select(id_col, vec_col).limit(max_exact + 1).collect()
         n = len(rows)
         if n > max_exact:
             raise ValueError(
-                f"semantic_dedup(engine='exact') on {n} rows exceeds "
-                f"max_exact={max_exact}; use engine='ivf'"
+                f"semantic_dedup(engine='exact') exceeds max_exact="
+                f"{max_exact} rows; use engine='ivf'"
             )
         ids = np.asarray([r[0] for r in rows])  # any orderable id dtype
         mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -328,9 +335,15 @@ def semantic_dedup(
             ca.join(cb, ["_cell"]).where(F.col("_i") < F.col("_j"))
             .select("_i", "_j").distinct()
         )
+        # NaN guard: Spark orders NaN above every number, so a 0/0 cosine
+        # (zero-norm or NaN-poisoned vector) would pass `>= threshold` and
+        # fabricate a duplicate — the exact engine's numpy comparisons are
+        # False for NaN, and the ivf path must agree (survivor-superset
+        # contract)
+        cos = _cosine_cols("_va", "_vb")
         pairs = (
             cand.join(a, "_i").join(b, "_j")
-            .where(_cosine_cols("_va", "_vb") >= F.lit(float(threshold)))
+            .where(~F.isnan(cos) & (cos >= F.lit(float(threshold))))
         )
         dropped = pairs.select(F.col("_j").alias(id_col)).distinct()
     return df.join(dropped, [id_col], "left_anti")

@@ -307,10 +307,12 @@ def with_unigram_logprob(
     # hash — fully deterministic across retries/recomputation (the previous
     # monotonically_increasing_id + localCheckpoint pinning was only stable
     # after first materialization and made the stage unrecoverable on
-    # executor loss, r4 advice). Duplicate texts share one score row (their
-    # pooled token average equals the per-copy average); each copy still
-    # contributes its tokens to the corpus-trained model below.
-    words = df.withColumn("_tkey", F.xxhash64(F.col(text_col)))
+    # executor loss, r4 advice). md5 (128-bit), not xxhash64: at multi-
+    # billion-document scale 64-bit birthday collisions would silently pool
+    # two unrelated docs into one blended score. Duplicate texts share one
+    # score row (their pooled token average equals the per-copy average);
+    # each copy still contributes its tokens to the corpus model below.
+    words = df.withColumn("_tkey", F.md5(F.col(text_col)))
     toks = words.select(
         "_tkey", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).where(F.length("term") > 0)

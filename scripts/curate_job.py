@@ -54,8 +54,11 @@ def parse_args(argv=None):
                         "text already appears there (Bloom + exact verify)")
     p.add_argument("--against-fpr", type=float, default=1e-3)
     p.add_argument("--embeddings", default=None,
-                   help="parquet path of (id, embedding) rows; semantic dedup "
-                        "survivors join back by --id-col")
+                   help="parquet path of (id, embedding) rows; docs flagged "
+                        "as semantic DUPLICATES are dropped (docs with no "
+                        "embedding row are untouched)")
+    p.add_argument("--emb-id-col", default="vec_id")
+    p.add_argument("--emb-vec-col", default="embedding")
     p.add_argument("--semantic-threshold", type=float, default=0.9)
     p.add_argument("--semantic-engine", choices=["exact", "ivf"], default="ivf")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -107,12 +110,24 @@ def main(argv=None) -> int:
         from puddsketch_spark.ops.similarity import semantic_dedup
 
         emb = spark.read.parquet(args.embeddings)
-        emb_id = emb.columns[0]
-        keep = semantic_dedup(
-            emb, id_col=emb_id, threshold=args.semantic_threshold,
-            engine=args.semantic_engine,
-        ).select(F.col(emb_id).alias(args.id_col))
-        curated = curated.join(keep, args.id_col, "left_semi")
+        for col in (args.emb_id_col, args.emb_vec_col):
+            if col not in emb.columns:
+                raise SystemExit(
+                    f"--embeddings table has no column {col!r} "
+                    f"(columns: {emb.columns}); set --emb-id-col/--emb-vec-col"
+                )
+        # drop only docs FLAGGED as semantic duplicates — a doc with no
+        # embedding row is not a duplicate (embedding pipelines routinely
+        # lag ingestion) and must survive, so the join removes the
+        # (emb ids - survivors) set rather than semi-joining on survivors
+        survivors = semantic_dedup(
+            emb, id_col=args.emb_id_col, vec_col=args.emb_vec_col,
+            threshold=args.semantic_threshold, engine=args.semantic_engine,
+        )
+        dropped = emb.select(args.emb_id_col).join(
+            survivors.select(args.emb_id_col), args.emb_id_col, "left_anti"
+        ).select(F.col(args.emb_id_col).alias(args.id_col))
+        curated = curated.join(dropped, args.id_col, "left_anti")
         stats["n_after_semantic"] = curated.count()
 
     curated.write.mode("overwrite").parquet(args.output)

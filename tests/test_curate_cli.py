@@ -31,3 +31,53 @@ def test_curate_job_cli_end_to_end(tmp_path):
         f"SELECT COUNT(*) FROM read_parquet('{out_dir}/*.parquet')"
     ).fetchone()[0]
     assert n == stats["n_curated"]
+
+
+def test_curate_job_partial_embeddings_keep_unembedded_docs(tmp_path):
+    """Review regression: docs with NO embedding row are not semantic
+    duplicates and must survive the --embeddings stage (the first cut
+    semi-joined on survivors and silently dropped them)."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [f"a sufficiently long unique document body number {i} "
+                 "with plenty of ordinary words to pass quality filtering"
+                 for i in range(8)],
+    })
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.to_parquet(docs_path)
+    # embeddings cover ONLY doc_ids 0-3; 2 and 3 are exact duplicates of 0
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 0.0]],
+    })
+    emb_path = str(tmp_path / "emb.parquet")
+    emb.to_parquet(emb_path)
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "curate_job.py"),
+         "--input", docs_path, "--output", out_dir,
+         "--embeddings", emb_path, "--semantic-engine", "exact",
+         "--semantic-threshold", "0.99", "--quality-threshold", "0.0"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import duckdb
+
+    ids = sorted(r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchall())
+    # 2 and 3 drop (dups of 0); 4-7 survive despite having no embeddings
+    assert ids == [0, 1, 4, 5, 6, 7], ids
+
+    # unknown embedding columns fail loudly, not with an opaque plan error
+    bad = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "curate_job.py"),
+         "--input", docs_path, "--output", str(tmp_path / "c2"),
+         "--embeddings", emb_path, "--emb-id-col", "nope"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert bad.returncode != 0 and "no column 'nope'" in bad.stderr

@@ -45,6 +45,30 @@ def test_pii_stats_and_redaction(spark):
         pii_stats(docs, kinds=["email", "iban"])
 
 
+def test_pii_phone_pattern_does_not_mask_numeric_prose(spark):
+    """Review regression: the phone pattern must not fire on space-
+    separated numeric prose or mid-digit-run fragments, while '+'-prefixed
+    and separator-joined real numbers still match."""
+    docs = spark.createDataFrame(
+        [
+            (1, "revenue 100 200 3000 this quarter"),      # prose: no match
+            (2, "ids 20240101 555 1234 in the log"),       # mid-run: no match
+            (3, "call +555-123-4567 now"),                  # plus-prefixed
+            (4, "fax 555.123.4567 ok"),                     # dot separators
+            (5, "serial 4101-555-1234x"),  # mid-run start AND digit->x kills trailing \b
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.kind: r.n_matches for r in pii_stats(docs, kinds=["phone"]).collect()}
+    assert stats["phone"] == 2  # docs 3 and 4 only
+    red = {r.doc_id: r.text for r in redact_pii(docs, kinds=["phone"]).collect()}
+    assert red[1] == "revenue 100 200 3000 this quarter"
+    assert red[2] == "ids 20240101 555 1234 in the log"
+    assert red[3] == "call [phone] now"
+    assert red[4] == "fax [phone] ok"
+    assert "4101-555-1234" in red[5]  # starts mid-run: left alone
+
+
 def test_pii_stats_single_scan_plan(spark):
     """All kinds are counted in one projection + one aggregation — the plan
     must contain exactly one scan of the input."""
@@ -107,6 +131,27 @@ def test_semantic_dedup_exact_matches_duckdb(spark):
                                      b.embedding::DOUBLE[]) >= {t}
         ) d USING (vec_id)""").fetchall())
     assert out == exp and 0 < len(exp) < 150
+
+
+def test_semantic_dedup_zero_vector_never_fabricates_dups(spark):
+    """Review regression: a zero-norm vector yields 0/0 = NaN cosine, and
+    Spark orders NaN above every number — the ivf verify must not let
+    `NaN >= t` fabricate a duplicate (the exact engine's numpy comparisons
+    are already False for NaN; the engines must agree)."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),    # zero vector, lowest id
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),    # second zero vector
+    ]
+    for engine, kw in (("exact", {}), ("ivf", {"n_cells": 2, "n_probe": 2})):
+        out = sorted(
+            r.vec_id
+            for r in semantic_dedup(
+                _vecs(spark, rows), threshold=0.5, engine=engine, **kw
+            ).collect()
+        )
+        assert out == [1, 2, 3, 4], engine  # nothing dropped, either engine
 
 
 def test_semantic_dedup_ivf_recall_and_guards(spark):
