@@ -1465,6 +1465,44 @@ FROM orders
 """
 
 
+def _range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven equal-frequency range partitioning (the deterministic
+    replacement for repartitionByRange's reservoir sample): one signed-
+    sketch pass picks 16 bucket bounds over events.value, and the row
+    reports order-invariant facts each verified exactly in Spark:
+      * n: exact non-null row count (anchors the oracle)
+      * balance_ok: heaviest/lightest bucket share within [0.5, 1.5]x of
+        the ideal 1/16 (alpha=0.005 bounds; no atom > 1/16 in this column)
+      * monotonic: per-bucket [min,max] value envelopes are disjoint and
+        ordered — the range-partition contract
+      * deterministic: bounds recomputed from a different physical layout
+        of the same rows are float-identical (merge-order invariance)."""
+    from puddsketch_spark.spark.partitioning import (
+        bucket_balance, sketch_range_bounds,
+    )
+
+    p = 16
+    events = _t(spark, sf_dir, "events")
+    row = bucket_balance(events, "value", p).first()
+    b1 = sketch_range_bounds(events, "value", p)
+    b2 = sketch_range_bounds(events.repartition(5, "event_id"), "value", p)
+    ideal = 1.0 / p
+    return spark.createDataFrame(
+        [(p, int(row.n),
+          bool(row.max_share <= 1.5 * ideal and row.min_share >= 0.5 * ideal),
+          bool(row.monotonic), bool(b1 == b2))],
+        "num_buckets int, n long, balance_ok boolean, monotonic boolean, "
+        "deterministic boolean",
+    )
+
+
+_RANGE_PART_SQL = """
+SELECT 16 AS num_buckets, COUNT(value) AS n, TRUE AS balance_ok,
+       TRUE AS monotonic, TRUE AS deterministic
+FROM events
+"""
+
+
 def _rank_check(
     spark: SparkSession, sf_dir: str, kind: str, tol: float,
     qs: tuple = None, hra: bool = True,
@@ -3113,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries it skipped lead here — all were green in the local all-68
     # DuckDB parity suite and/or earlier rounds).
     return {
+        "range_partition_balance": _range_partition_balance,
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
         "tfidf_top_terms": _tfidf_top_terms,
         "range_join_value_bands": _range_join_value_bands,
@@ -3225,6 +3264,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_custkeys": _BLOOM_SQL,
         "heavy_hitters_event_types": _HH_SQL,
         "heavy_hitters_custkeys": _HH_CUST_SQL,
+        "range_partition_balance": _RANGE_PART_SQL,
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
         "req_price_rank": _RANK_SQL,
