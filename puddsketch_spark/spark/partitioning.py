@@ -118,9 +118,15 @@ def range_repartition(
     One sketch pass picks the bounds (unless given), then the exchange
     range-partitions on the dense int bucket id — Spark's sampler sees at
     most ``num_buckets`` distinct ids instead of the raw value domain, so
-    partition membership is decided by the deterministic bounds, not by
-    what the reservoir happened to sample this run. NULL/NaN rows (bucket
-    -1) sort first, matching ``repartitionByRange``'s nulls-first order.
+    BUCKET membership is decided by the deterministic bounds, not by what
+    the reservoir happened to sample this run. The id->physical-partition
+    mapping still goes through Spark's range sampler: with few rows per
+    bucket it may merge adjacent ids into one partition (contiguity and
+    bucket membership hold regardless); raise
+    ``spark.sql.execution.rangeExchange.sampleSizePerPartition`` for a
+    near-exact identity mapping — the sample is ints, so even 10k/partition
+    is trivial. NULL/NaN rows (bucket -1) sort first, matching
+    ``repartitionByRange``'s nulls-first order.
     """
     if bounds is None:
         bounds = sketch_range_bounds(df, value_col, num_buckets, alpha=alpha, m=m)

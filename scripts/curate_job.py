@@ -61,6 +61,11 @@ def parse_args(argv=None):
     p.add_argument("--emb-vec-col", default="embedding")
     p.add_argument("--semantic-threshold", type=float, default=0.9)
     p.add_argument("--semantic-engine", choices=["exact", "ivf"], default="ivf")
+    p.add_argument("--balance-output", type=int, default=None, metavar="P",
+                   help="range-repartition the output into P equal-frequency "
+                        "buckets of text length before writing (one sketch "
+                        "pass picks deterministic bounds; evens out the "
+                        "output file sizes a dedup-heavy pipeline skews)")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     return p.parse_args(argv)
 
@@ -130,6 +135,16 @@ def main(argv=None) -> int:
         curated = curated.join(dropped, args.id_col, "left_anti")
         stats["n_after_semantic"] = curated.count()
 
+    if args.balance_output:
+        from pyspark.sql import functions as F
+
+        from puddsketch_spark.spark.partitioning import range_repartition
+
+        curated = range_repartition(
+            curated.withColumn("_len", F.length(args.text_col)),
+            "_len", args.balance_output,
+        ).drop("_len")
+        stats["balance_output_buckets"] = args.balance_output
     curated.write.mode("overwrite").parquet(args.output)
     stats["wall_sec"] = round(time.time() - t0, 3)
     stats["output"] = args.output

@@ -16,7 +16,7 @@ def test_curate_job_cli_end_to_end(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "curate_job.py"),
          "--input", "/root/testdata/sf0.001/documents.parquet",
-         "--output", out_dir, "--redact"],
+         "--output", out_dir, "--redact", "--balance-output", "4"],
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -25,12 +25,17 @@ def test_curate_job_cli_end_to_end(tmp_path):
     assert stats["n_curated"] <= stats["n_input"]
     assert stats["output"] == out_dir
     assert "n_redacted_docs" in stats
+    assert stats["balance_output_buckets"] == 4
+    import glob
+
     import duckdb
 
     n = duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet('{out_dir}/*.parquet')"
     ).fetchone()[0]
-    assert n == stats["n_curated"]
+    assert n == stats["n_curated"]  # balancing must not add/drop rows
+    # the exchange spread survivors over the length buckets -> several files
+    assert len(glob.glob(os.path.join(out_dir, "part-*.parquet"))) >= 2
 
 
 def test_curate_job_partial_embeddings_keep_unembedded_docs(tmp_path):
