@@ -131,8 +131,20 @@ def range_repartition(
     if bounds is None:
         bounds = sketch_range_bounds(df, value_col, num_buckets, alpha=alpha, m=m)
     bucketed = with_range_bucket(df, value_col, bounds, out=out)
-    parts = max(len(bounds) + 1, 1)
-    shuffled = bucketed.repartitionByRange(parts, F.col(out))
+    if not bounds:
+        # a constant (or empty) column admits no equal-frequency split;
+        # exchanging here would be repartitionByRange(1, ...) — the entire
+        # input funneled into ONE partition, a scale hazard far worse than
+        # leaving the existing layout alone
+        import warnings
+
+        warnings.warn(
+            f"range_repartition: {value_col!r} has no equal-frequency cut "
+            "points (constant or empty column); keeping the input "
+            "partitioning instead of coalescing everything into one partition"
+        )
+        return bucketed if keep_bucket else bucketed.drop(out)
+    shuffled = bucketed.repartitionByRange(len(bounds) + 1, F.col(out))
     return shuffled if keep_bucket else shuffled.drop(out)
 
 

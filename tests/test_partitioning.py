@@ -103,6 +103,10 @@ def test_constant_column_single_bucket(spark):
     df = spark.range(100).withColumn("v", F.lit(7.0))
     assert sketch_range_bounds(df, "v", 8) == []
     assert with_range_bucket(df, "v", []).agg(F.max("_bucket")).first()[0] == 0
+    # no-cut input must keep its layout, not coalesce into one partition
+    with pytest.warns(UserWarning, match="no equal-frequency cut"):
+        out = range_repartition(df.repartition(4), "v", 8)
+    assert out.rdd.getNumPartitions() == 4
 
 
 def test_negative_values_signed_domain(spark):
