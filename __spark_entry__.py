@@ -1503,6 +1503,48 @@ FROM events
 """
 
 
+def _source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (ops/quota.py::cap_per_group — the C4-style
+    domain-cap curation step), exercised through the SALTED two-phase
+    skew path so the gate pins the scale route, not just the plain
+    window: keep the 10 longest docs per source (doc_id tiebreak), then
+    report exact per-source survivors — count, id-sum, char extrema —
+    hash-matched against DuckDB's ROW_NUMBER re-derivation."""
+    from puddsketch_spark.ops.quota import cap_per_group
+
+    doc = _t(spark, sf_dir, "documents")
+    kept = cap_per_group(
+        doc, ["source"], 10, [F.col("n_chars").desc(), "doc_id"],
+        salt_buckets=8,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_QUOTA_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars
+FROM ranked WHERE rn <= 10
+GROUP BY source ORDER BY source
+"""
+
+
 def _rank_check(
     spark: SparkSession, sf_dir: str, kind: str, tol: float,
     qs: tuple = None, hra: bool = True,
@@ -3152,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB parity suite and/or earlier rounds).
     return {
         "range_partition_balance": _range_partition_balance,
+        "source_quota_cap": _source_quota_cap,
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
         "tfidf_top_terms": _tfidf_top_terms,
         "range_join_value_bands": _range_join_value_bands,
@@ -3265,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_event_types": _HH_SQL,
         "heavy_hitters_custkeys": _HH_CUST_SQL,
         "range_partition_balance": _RANGE_PART_SQL,
+        "source_quota_cap": _SOURCE_QUOTA_SQL,
         "kll_price_rank": _RANK_SQL,
         "tdigest_price_rank": _RANK_SQL,
         "req_price_rank": _RANK_SQL,

@@ -1,0 +1,95 @@
+"""Per-group quota capping and deterministic corpus ordering.
+
+Web-corpus curation caps how many documents any one source/domain may
+contribute (the C4/RefinedWeb "domain cap" step) and fixes a reproducible
+training order. Both are pure Catalyst here; the cap additionally ships a
+two-phase salted path for the hot-domain reality of web data — one domain
+with 10^8 rows would otherwise serialize a single window task.
+
+Scale notes: the plain cap is one shuffle on the group key; the salted cap
+shuffles twice, but phase two moves at most ``k * salt_buckets`` candidate
+rows per group, so the hot group's 10^8 rows spread over ``salt_buckets``
+tasks in phase one and never re-concentrate. Results of both paths are
+row-identical (property-tested) because every global top-k row is
+necessarily within the top k of its own salt bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cap_per_group", "deterministic_shuffle"]
+
+
+def _order_cols(order_by: Sequence) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    order_by: Sequence,
+    salt_buckets: int | None = None,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, ranked by ``order_by``.
+
+    ``order_by`` entries are column names or Column expressions (e.g.
+    ``F.col("n_chars").desc()``); include a unique tiebreak column so the
+    survivor set is deterministic — with ties at the cut the window picks
+    arbitrarily and two runs may disagree.
+
+    ``salt_buckets`` switches to the skew-safe two-phase path: phase one
+    ranks within (group, salt) — a hot group spreads over ``salt_buckets``
+    tasks — and phase two ranks the ≤ ``k * salt_buckets`` surviving
+    candidates per group. ``salt_cols`` (default: every column — a
+    whole-row content hash) feed the deterministic salt, keeping retries
+    and resume stable, as in spark/skew.py.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    order = _order_cols(order_by)
+    groups = [F.col(c) for c in group_cols]
+    if salt_buckets is None:
+        w = Window.partitionBy(*groups).orderBy(*order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    if salt_cols is None:
+        salt_cols = list(df.columns)  # whole-row content hash: always valid
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy(*groups, F.col("_salt")).orderBy(*order)
+    candidates = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_cols: Sequence[str], seed: int = 0
+) -> DataFrame:
+    """Reproducible pseudo-random global order (training-order shuffle).
+
+    Orders by ``xxhash64(seed, id_cols...)`` — the same rows produce the
+    same order on any run, cluster size, or physical layout, unlike
+    ``orderBy(rand())``. One range-sort shuffle; write the result with
+    ``.write`` to pin the order on disk.
+    """
+    return df.orderBy(
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in id_cols]), *[F.col(c) for c in id_cols]
+    )
