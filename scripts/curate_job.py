@@ -61,6 +61,13 @@ def parse_args(argv=None):
     p.add_argument("--emb-vec-col", default="embedding")
     p.add_argument("--semantic-threshold", type=float, default=0.9)
     p.add_argument("--semantic-engine", choices=["exact", "ivf"], default="ivf")
+    p.add_argument("--cap-per-source", type=int, default=None, metavar="K",
+                   help="keep at most K surviving docs per --cap-group-col "
+                        "(ranked by --cap-order-col desc, id tiebreak; "
+                        "skew-safe salted top-k)")
+    p.add_argument("--cap-group-col", default="source")
+    p.add_argument("--cap-order-col", default="quality")
+    p.add_argument("--cap-salt-buckets", type=int, default=16)
     p.add_argument("--balance-output", type=int, default=None, metavar="P",
                    help="range-repartition the output into P equal-frequency "
                         "buckets of text length before writing (one sketch "
@@ -134,6 +141,25 @@ def main(argv=None) -> int:
         ).select(F.col(args.emb_id_col).alias(args.id_col))
         curated = curated.join(dropped, args.id_col, "left_anti")
         stats["n_after_semantic"] = curated.count()
+
+    if args.cap_per_source:
+        from pyspark.sql import functions as F
+
+        from puddsketch_spark.ops.quota import cap_per_group
+
+        for col in (args.cap_group_col, args.cap_order_col):
+            if col not in curated.columns:
+                raise SystemExit(
+                    f"--cap-per-source needs column {col!r} in the curated "
+                    f"table (columns: {curated.columns}); set "
+                    "--cap-group-col/--cap-order-col"
+                )
+        curated = cap_per_group(
+            curated, [args.cap_group_col], args.cap_per_source,
+            [F.col(args.cap_order_col).desc(), args.id_col],
+            salt_buckets=args.cap_salt_buckets,
+        )
+        stats["n_after_source_cap"] = curated.count()
 
     if args.balance_output:
         from pyspark.sql import functions as F

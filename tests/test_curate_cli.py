@@ -16,7 +16,8 @@ def test_curate_job_cli_end_to_end(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "curate_job.py"),
          "--input", "/root/testdata/sf0.001/documents.parquet",
-         "--output", out_dir, "--redact", "--balance-output", "4"],
+         "--output", out_dir, "--redact", "--balance-output", "4",
+         "--cap-per-source", "3"],
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -26,14 +27,19 @@ def test_curate_job_cli_end_to_end(tmp_path):
     assert stats["output"] == out_dir
     assert "n_redacted_docs" in stats
     assert stats["balance_output_buckets"] == 4
+    assert stats["n_after_source_cap"] <= stats["n_curated"]
     import glob
 
     import duckdb
 
-    n = duckdb.sql(
+    n, caps = duckdb.sql(
+        f"SELECT COUNT(*), MAX(c) FROM (SELECT source, COUNT(*) c "
+        f"FROM read_parquet('{out_dir}/*.parquet') GROUP BY source)"
+    ).fetchone()
+    assert duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet('{out_dir}/*.parquet')"
-    ).fetchone()[0]
-    assert n == stats["n_curated"]  # balancing must not add/drop rows
+    ).fetchone()[0] == stats["n_after_source_cap"]  # balancing adds/drops nothing
+    assert caps <= 3  # the per-source quota held in the written output
     # the exchange spread survivors over the length buckets -> several files
     assert len(glob.glob(os.path.join(out_dir, "part-*.parquet"))) >= 2
 
