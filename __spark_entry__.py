@@ -1497,8 +1497,12 @@ def _range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGE_PART_SQL = """
-SELECT 16 AS num_buckets, COUNT(value) AS n, TRUE AS balance_ok,
-       TRUE AS monotonic, TRUE AS deterministic
+SELECT 16 AS num_buckets,
+       -- same population as bucket_balance's n: NULL AND NaN rows go to
+       -- the sentinel bucket and are excluded from the share accounting
+       CAST(COUNT(*) FILTER (WHERE value IS NOT NULL AND NOT isnan(value))
+            AS BIGINT) AS n,
+       TRUE AS balance_ok, TRUE AS monotonic, TRUE AS deterministic
 FROM events
 """
 

@@ -52,6 +52,17 @@ def cap_per_group(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if salt_buckets is not None and salt_buckets < 1:
+        # pmod(hash, 0) is NULL (or an ANSI divide-by-zero): every row would
+        # share one NULL salt and the hot group re-serializes — the exact
+        # failure this path exists to prevent, so refuse loudly
+        raise ValueError("salt_buckets must be >= 1 (or None for the plain path)")
+    for helper in ("_rn",) + (("_salt",) if salt_buckets is not None else ()):
+        if helper in df.columns:
+            raise ValueError(
+                f"cap_per_group uses {helper!r} internally and the input "
+                "already has that column; rename it first"
+            )
     order = _order_cols(order_by)
     groups = [F.col(c) for c in group_cols]
     if salt_buckets is None:
@@ -63,9 +74,9 @@ def cap_per_group(
         )
     if salt_cols is None:
         salt_cols = list(df.columns)  # whole-row content hash: always valid
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets)).cast("int")
-    )
+    from ..spark.skew import with_salt
+
+    salted = with_salt(df, salt_cols, salt_buckets)
     w1 = Window.partitionBy(*groups, F.col("_salt")).orderBy(*order)
     candidates = (
         salted.withColumn("_rn", F.row_number().over(w1))
@@ -90,6 +101,10 @@ def deterministic_shuffle(
     ``orderBy(rand())``. One range-sort shuffle; write the result with
     ``.write`` to pin the order on disk.
     """
+    if not id_cols:
+        # xxhash64(seed) alone is one constant — a total tie, i.e. the
+        # nondeterministic order this function exists to replace
+        raise ValueError("id_cols must name at least one column")
     return df.orderBy(
         F.xxhash64(F.lit(seed), *[F.col(c) for c in id_cols]), *[F.col(c) for c in id_cols]
     )

@@ -56,6 +56,8 @@ def sketch_range_bounds(
     """
     if num_buckets < 1:
         raise ValueError("num_buckets must be >= 1")
+    if num_buckets == 1:
+        return []  # one bucket needs no cuts — skip the fill entirely
     if sketch is None:
         from ..core.ddsketch import DDSketchPair
         from .agg import sketch_global
@@ -89,6 +91,11 @@ def with_range_bucket(
     landing in bucket 0. Pure Catalyst (``filter`` higher-order function on
     a literal array) — no Python in the row path.
     """
+    if out in df.columns:
+        raise ValueError(
+            f"output column {out!r} already exists in the input; pass a "
+            "different `out` instead of silently overwriting it"
+        )
     v = F.col(value_col).cast("double")
     if not bounds:
         bucket = F.lit(0)
@@ -132,17 +139,19 @@ def range_repartition(
         bounds = sketch_range_bounds(df, value_col, num_buckets, alpha=alpha, m=m)
     bucketed = with_range_bucket(df, value_col, bounds, out=out)
     if not bounds:
-        # a constant (or empty) column admits no equal-frequency split;
-        # exchanging here would be repartitionByRange(1, ...) — the entire
-        # input funneled into ONE partition, a scale hazard far worse than
-        # leaving the existing layout alone
-        import warnings
+        # no cut points: exchanging would be repartitionByRange(1, ...) —
+        # the entire input funneled into ONE partition, a scale hazard far
+        # worse than leaving the existing layout alone. Warn only when the
+        # caller asked for a real split (num_buckets == 1 legitimately has
+        # no cuts and needs no warning).
+        if num_buckets > 1:
+            import warnings
 
-        warnings.warn(
-            f"range_repartition: {value_col!r} has no equal-frequency cut "
-            "points (constant or empty column); keeping the input "
-            "partitioning instead of coalescing everything into one partition"
-        )
+            warnings.warn(
+                f"range_repartition: {value_col!r} has no equal-frequency "
+                "cut points (constant or empty column); keeping the input "
+                "partitioning instead of coalescing into one partition"
+            )
         return bucketed if keep_bucket else bucketed.drop(out)
     shuffled = bucketed.repartitionByRange(len(bounds) + 1, F.col(out))
     return shuffled if keep_bucket else shuffled.drop(out)

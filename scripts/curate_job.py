@@ -142,6 +142,15 @@ def main(argv=None) -> int:
         curated = curated.join(dropped, args.id_col, "left_anti")
         stats["n_after_semantic"] = curated.count()
 
+    # the post-pipeline stages below each ACTION on `curated` (the cap's
+    # count, the balance sketch pass) before the write actions it again —
+    # without a persist every action re-executes the whole dedup/quality/
+    # redact lineage, tripling job cost at corpus scale
+    cached = None
+    if args.cap_per_source or args.balance_output:
+        cached = curated.persist()
+        curated = cached
+
     if args.cap_per_source:
         from pyspark.sql import functions as F
 
@@ -172,6 +181,8 @@ def main(argv=None) -> int:
         ).drop("_len")
         stats["balance_output_buckets"] = args.balance_output
     curated.write.mode("overwrite").parquet(args.output)
+    if cached is not None:
+        cached.unpersist()
     stats["wall_sec"] = round(time.time() - t0, 3)
     stats["output"] = args.output
     print(json.dumps(stats))

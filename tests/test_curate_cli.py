@@ -32,10 +32,10 @@ def test_curate_job_cli_end_to_end(tmp_path):
 
     import duckdb
 
-    n, caps = duckdb.sql(
-        f"SELECT COUNT(*), MAX(c) FROM (SELECT source, COUNT(*) c "
+    caps = duckdb.sql(
+        f"SELECT MAX(c) FROM (SELECT source, COUNT(*) c "
         f"FROM read_parquet('{out_dir}/*.parquet') GROUP BY source)"
-    ).fetchone()
+    ).fetchone()[0]
     assert duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet('{out_dir}/*.parquet')"
     ).fetchone()[0] == stats["n_after_source_cap"]  # balancing adds/drops nothing

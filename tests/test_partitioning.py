@@ -123,3 +123,21 @@ def test_negative_values_signed_domain(spark):
 def test_empty_input(spark):
     df = spark.range(0).withColumn("v", F.col("id").cast("double"))
     assert sketch_range_bounds(df, "v", 8) == []
+
+
+def test_single_bucket_short_circuits_without_warning(spark, recwarn):
+    """Review regression: num_buckets=1 legitimately has no cuts — it must
+    skip the sketch fill and not claim the column is constant."""
+    df = spark.range(100).withColumn("v", F.col("id").cast("double"))
+    assert sketch_range_bounds(None, "v", 1) == []  # df unused: no fill ran
+    out = range_repartition(df.repartition(4), "v", 1)
+    assert not [w for w in recwarn.list if "equal-frequency" in str(w.message)]
+    assert out.count() == 100
+
+
+def test_bucket_column_collision_raises(spark):
+    df = spark.range(5).withColumn("v", F.col("id").cast("double")).withColumn(
+        "_bucket", F.lit(9)
+    )
+    with pytest.raises(ValueError, match="_bucket"):
+        with_range_bucket(df, "v", [2.0])

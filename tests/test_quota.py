@@ -62,6 +62,31 @@ def test_cap_rejects_bad_k(spark):
         cap_per_group(df, ["g"], 0, ["id"])
 
 
+def test_cap_rejects_bad_salt_buckets_and_helper_collisions(spark):
+    """Review regressions: salt_buckets=0 would pmod to a NULL salt and
+    silently re-serialize the hot group; a pre-existing _rn/_salt column
+    would be overwritten then dropped."""
+    df = spark.range(4).withColumn("g", F.lit("x"))
+    with pytest.raises(ValueError, match="salt_buckets"):
+        cap_per_group(df, ["g"], 2, ["id"], salt_buckets=0)
+    with pytest.raises(ValueError, match="_rn"):
+        cap_per_group(df.withColumn("_rn", F.lit(1)), ["g"], 2, ["id"])
+    with pytest.raises(ValueError, match="_salt"):
+        cap_per_group(df.withColumn("_salt", F.lit(1)), ["g"], 2, ["id"],
+                      salt_buckets=4)
+    # _salt in the input is fine on the PLAIN path, which never touches it
+    assert cap_per_group(
+        df.withColumn("_salt", F.lit(1)), ["g"], 2, ["id"]
+    ).columns == ["id", "g", "_salt"]
+
+
+def test_deterministic_shuffle_rejects_empty_ids(spark):
+    from puddsketch_spark.ops.quota import deterministic_shuffle
+
+    with pytest.raises(ValueError, match="id_cols"):
+        deterministic_shuffle(spark.range(3), [])
+
+
 def test_deterministic_shuffle_stable_across_layouts(hotdomain):
     a = [r.id for r in deterministic_shuffle(hotdomain, ["id"]).collect()]
     b = [r.id for r in deterministic_shuffle(hotdomain.repartition(13), ["id"]).collect()]
