@@ -1483,8 +1483,10 @@ def _range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = 16
     events = _t(spark, sf_dir, "events")
-    row = bucket_balance(events, "value", p).first()
+    # two independent fills total: b1 (also audited by bucket_balance, which
+    # reuses it instead of refilling) and b2 on a different physical layout
     b1 = sketch_range_bounds(events, "value", p)
+    row = bucket_balance(events, "value", p, bounds=b1).first()
     b2 = sketch_range_bounds(events.repartition(5, "event_id"), "value", p)
     ideal = 1.0 / p
     return spark.createDataFrame(

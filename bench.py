@@ -109,6 +109,8 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "pii_redaction_stats",
         "semantic_dedup_survivors",
         "incremental_dedup_check",
+        "range_partition_balance",
+        "source_quota_cap",
     ]:
         record(name, lambda name=name: qs[name](spark, sf_dir).count())
 

@@ -158,7 +158,11 @@ def range_repartition(
 
 
 def bucket_balance(
-    df: DataFrame, value_col: str, num_buckets: int, **kwargs
+    df: DataFrame,
+    value_col: str,
+    num_buckets: int,
+    bounds: Sequence[float] | None = None,
+    **kwargs,
 ) -> DataFrame:
     """One-row balance report for the sketch-chosen buckets.
 
@@ -167,9 +171,11 @@ def bucket_balance(
     row fraction (ideal 1/num_buckets each, over non-null rows);
     ``monotonic`` verifies bucket ids never decrease as values increase
     (the range-partition contract), checked distributedly via per-bucket
-    [min, max] value envelopes.
+    [min, max] value envelopes. Pass ``bounds`` to audit cut points you
+    already computed instead of paying a second sketch fill.
     """
-    bounds = sketch_range_bounds(df, value_col, num_buckets, **kwargs)
+    if bounds is None:
+        bounds = sketch_range_bounds(df, value_col, num_buckets, **kwargs)
     b = with_range_bucket(df, value_col, bounds).where(F.col("_bucket") >= 0)
     per = b.groupBy("_bucket").agg(
         F.count(F.lit(1)).alias("c"),
