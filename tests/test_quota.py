@@ -80,6 +80,28 @@ def test_cap_rejects_bad_salt_buckets_and_helper_collisions(spark):
     ).columns == ["id", "g", "_salt"]
 
 
+def test_plain_cap_plan_has_partial_window_group_limit(spark):
+    """Plan pin: the plain path's skew safety rests on Catalyst inserting a
+    PARTIAL WindowGroupLimit below the exchange (map-side top-k, so a hot
+    group ships <= k rows per input partition). If an engine/config change
+    silently drops it, the salted path must become the documented default —
+    this test is the tripwire."""
+    df = (
+        spark.range(10_000)
+        .withColumn("g", (F.col("id") % 3).cast("string"))
+        .withColumn("s", F.xxhash64("id").cast("double"))
+    )
+    kept = cap_per_group(df, ["g"], 5, [F.col("s").desc(), "id"])
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    partial = [i for i, line in enumerate(plan.splitlines())
+               if "WindowGroupLimit" in line and "Partial" in line]
+    exchange = [i for i, line in enumerate(plan.splitlines())
+                if "Exchange" in line]
+    assert partial and exchange, plan
+    # the Partial limit must sit BELOW the exchange (deeper in the tree)
+    assert partial[0] > exchange[0], plan
+
+
 def test_deterministic_shuffle_rejects_empty_ids(spark):
     from puddsketch_spark.ops.quota import deterministic_shuffle
 
