@@ -73,6 +73,28 @@ def cap_per_group(
     order = _order_cols(order_by)
     groups = [F.col(c) for c in group_cols]
     if salt_buckets is None:
+        try:
+            thr = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+                )
+            )
+        except Exception:
+            thr = 1000
+        if thr < 0 or k > thr:
+            # above the threshold (or with the rule disabled) Catalyst skips
+            # the map-side Partial WindowGroupLimit the plain path's skew
+            # safety rests on — a hot group then shuffles ALL its rows to
+            # one sort task
+            import warnings
+
+            warnings.warn(
+                f"cap_per_group: k={k} exceeds "
+                f"spark.sql.optimizer.windowGroupLimitThreshold={thr}, so "
+                "the window gets no map-side partial top-k and a hot group "
+                "serializes into one task; pass salt_buckets for the "
+                "skew-safe two-phase path"
+            )
         w = Window.partitionBy(*groups).orderBy(*order)
         return (
             df.withColumn("_rn", F.row_number().over(w))

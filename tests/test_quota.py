@@ -102,6 +102,21 @@ def test_plain_cap_plan_has_partial_window_group_limit(spark):
     assert partial[0] > exchange[0], plan
 
 
+def test_plain_cap_warns_above_window_group_limit_threshold(spark):
+    df = (
+        spark.range(100)
+        .withColumn("g", (F.col("id") % 3).cast("string"))
+    )
+    with pytest.warns(UserWarning, match="windowGroupLimitThreshold"):
+        cap_per_group(df, ["g"], 5000, ["id"]).count()
+    # the salted path needs no warning at any k
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cap_per_group(df, ["g"], 5000, ["id"], salt_buckets=4).count()
+
+
 def test_deterministic_shuffle_rejects_empty_ids(spark):
     from puddsketch_spark.ops.quota import deterministic_shuffle
 
