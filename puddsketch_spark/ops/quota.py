@@ -35,6 +35,29 @@ def _order_cols(order_by: Sequence) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
+def warn_if_no_partial_limit(df: DataFrame, k: int, caller: str) -> None:
+    """Warn when a row_number-<=k window will NOT get Catalyst's map-side
+    Partial WindowGroupLimit (k above windowGroupLimitThreshold or the rule
+    disabled) — a hot group then shuffles ALL its rows into one sort task."""
+    try:
+        thr = int(
+            df.sparkSession.conf.get(
+                "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+            )
+        )
+    except Exception:
+        thr = 1000
+    if thr < 0 or k > thr:
+        import warnings
+
+        warnings.warn(
+            f"{caller}: k={k} exceeds "
+            f"spark.sql.optimizer.windowGroupLimitThreshold={thr}, so the "
+            "window gets no map-side partial top-k and a hot group "
+            "serializes into one task"
+        )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -73,28 +96,9 @@ def cap_per_group(
     order = _order_cols(order_by)
     groups = [F.col(c) for c in group_cols]
     if salt_buckets is None:
-        try:
-            thr = int(
-                df.sparkSession.conf.get(
-                    "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
-                )
-            )
-        except Exception:
-            thr = 1000
-        if thr < 0 or k > thr:
-            # above the threshold (or with the rule disabled) Catalyst skips
-            # the map-side Partial WindowGroupLimit the plain path's skew
-            # safety rests on — a hot group then shuffles ALL its rows to
-            # one sort task
-            import warnings
-
-            warnings.warn(
-                f"cap_per_group: k={k} exceeds "
-                f"spark.sql.optimizer.windowGroupLimitThreshold={thr}, so "
-                "the window gets no map-side partial top-k and a hot group "
-                "serializes into one task; pass salt_buckets for the "
-                "skew-safe two-phase path"
-            )
+        # above the threshold (or with the rule disabled) the plain path's
+        # skew safety evaporates; the salted path is the fix here
+        warn_if_no_partial_limit(df, k, "cap_per_group (pass salt_buckets)")
         w = Window.partitionBy(*groups).orderBy(*order)
         return (
             df.withColumn("_rn", F.row_number().over(w))

@@ -91,6 +91,12 @@ def stratified_sample(
     seed: int = 42,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, deterministic in seed."""
+    from .quota import warn_if_no_partial_limit
+
+    # skew note: Catalyst's Partial WindowGroupLimit keeps this map-side
+    # top-k per partition for n <= windowGroupLimitThreshold; above that a
+    # hot stratum re-serializes, so surface it
+    warn_if_no_partial_limit(df, n_per_stratum, "stratified_sample")
     return (
         df.withColumn("_rn", _rank_in_stratum(list(strata), id_col, seed))
         .where(F.col("_rn") <= n_per_stratum)
