@@ -13,7 +13,8 @@ Usage (cluster):
         --input s3://bucket/docs --output s3://bucket/curated \
         --fuzzy --line-dedup-max-df 100 \
         --benchmark s3://bucket/benchmarks --redact \
-        --against s3://bucket/existing-corpus
+        --against s3://bucket/existing-corpus \
+        --cap-per-source 100000 --balance-output 4096
 
 Usage (local smoke):
     python scripts/curate_job.py --input /root/testdata/sf0.01/documents.parquet \
