@@ -123,6 +123,32 @@ def test_documented_bench_headline_matches_artifact():
     assert int(m.group(2)) == len(art["queries"])
 
 
+def test_documented_scaling_matches_baseline():
+    """README's quoted strong/weak scaling efficiencies must equal the
+    committed BENCH/BASELINE.md (this class of prose drift recurred three
+    times across rounds; pin it like the bench headline)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    readme = (root / "README.md").read_text()
+    baseline = (root / "BENCH" / "BASELINE.md").read_text()
+    m = re.search(r"\*\*([0-9.]+) efficiency\*\* in the\s+committed run",
+                  readme)
+    assert m, "README no longer quotes the committed strong-scaling number"
+    b = re.search(r"Scaling efficiency = .* = ([0-9.]+)", baseline)
+    assert b, "BASELINE.md no longer states the strong-scaling efficiency"
+    assert abs(float(m.group(1)) - float(b.group(1))) < 0.005, (
+        f"README quotes {m.group(1)} but BASELINE.md measured {b.group(1)}"
+    )
+    mw = re.search(r"\*\*([0-9.]+)\s+efficiency\*\*, near-constant", readme)
+    bw = re.search(r"Weak-scaling efficiency = .* = ([0-9.]+)", baseline)
+    assert mw and bw
+    assert abs(float(mw.group(1)) - float(bw.group(1))) < 0.005, (
+        f"README quotes weak {mw.group(1)} but BASELINE.md measured {bw.group(1)}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() >= 0
