@@ -74,12 +74,21 @@ def parse_args(argv=None):
                         "buckets of text length before writing (one sketch "
                         "pass picks deterministic bounds; evens out the "
                         "output file sizes a dedup-heavy pipeline skews)")
+    p.add_argument("--shuffle-output", type=int, default=None, metavar="SEED",
+                   help="write rows in a deterministic pseudo-random order "
+                        "(seeded xxhash64 of the id — reproducible training "
+                        "order, unlike rand()); mutually exclusive with "
+                        "--balance-output")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.shuffle_output is not None and args.balance_output:
+        raise SystemExit("--shuffle-output and --balance-output are mutually "
+                         "exclusive (a random order and a length-range "
+                         "layout cannot both hold)")
     from puddsketch_spark.ops.pipeline import curate_documents
     from puddsketch_spark.spark.session import get_spark
 
@@ -181,6 +190,12 @@ def main(argv=None) -> int:
             "_len", args.balance_output,
         ).drop("_len")
         stats["balance_output_buckets"] = args.balance_output
+    if args.shuffle_output is not None:
+        from puddsketch_spark.ops.quota import deterministic_shuffle
+
+        curated = deterministic_shuffle(curated, [args.id_col],
+                                        seed=args.shuffle_output)
+        stats["shuffle_seed"] = args.shuffle_output
     curated.write.mode("overwrite").parquet(args.output)
     if cached is not None:
         cached.unpersist()

@@ -44,6 +44,41 @@ def test_curate_job_cli_end_to_end(tmp_path):
     assert len(glob.glob(os.path.join(out_dir, "part-*.parquet"))) >= 2
 
 
+def test_curate_job_shuffle_output_deterministic(tmp_path):
+    """--shuffle-output writes a reproducible pseudo-random order: two runs
+    with the same seed produce byte-identical row sequences."""
+    import duckdb
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    orders = []
+    for run in ("a", "b"):
+        out_dir = str(tmp_path / f"cur_{run}")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "curate_job.py"),
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", out_dir, "--shuffle-output", "7"],
+            capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert stats["shuffle_seed"] == 7
+        orders.append([r[0] for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out_dir}/part-*.parquet')"
+        ).fetchall()])
+    assert orders[0] == orders[1]
+    assert orders[0] != sorted(orders[0])  # actually shuffled
+    # the flag pair that cannot both hold is refused up front
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "curate_job.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(tmp_path / "x"), "--shuffle-output", "7",
+         "--balance-output", "4"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert proc.returncode != 0
+    assert "mutually exclusive" in proc.stderr
+
+
 def test_curate_job_partial_embeddings_keep_unembedded_docs(tmp_path):
     """Review regression: docs with NO embedding row are not semantic
     duplicates and must survive the --embeddings stage (the first cut
