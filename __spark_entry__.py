@@ -1476,25 +1476,43 @@ def _range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
       * monotonic: per-bucket [min,max] value envelopes are disjoint and
         ordered — the range-partition contract
       * deterministic: bounds recomputed from a different physical layout
-        of the same rows are float-identical (merge-order invariance)."""
+        of the same rows are float-identical (merge-order invariance)
+      * restore_identical: bounds recomputed from the SERIALIZED sketch
+        state round-tripped through to_bytes/from_bytes are float-identical
+        to the fresh fill — the incremental-ingest path
+        (sketch_range_bounds(sketch=...) reusing a checkpointed state
+        instead of rescanning the corpus), gate-checked here (VERDICT r5
+        item 6: it was pytest-only)."""
+    from puddsketch_spark.core.ddsketch import DDSketchPair
+    from puddsketch_spark.spark.agg import sketch_global
     from puddsketch_spark.spark.partitioning import (
         bucket_balance, sketch_range_bounds,
     )
 
     p = 16
     events = _t(spark, sf_dir, "events")
-    # two independent fills total: b1 (also audited by bucket_balance, which
-    # reuses it instead of refilling) and b2 on a different physical layout
-    b1 = sketch_range_bounds(events, "value", p)
+    # two independent fills total: s1 (bounds b1, also audited by
+    # bucket_balance, which reuses them instead of refilling) and b2 on a
+    # different physical layout; the restore path pays NO fill — bounds come
+    # from the serde-round-tripped s1 state, exactly how an incremental
+    # ingest would reuse yesterday's checkpointed sketch
+    s1 = sketch_global(
+        events, "value", lambda: DDSketchPair(initial_alpha=0.005, m=4096),
+        DDSketchPair.from_bytes,
+    )
+    b1 = sketch_range_bounds(events, "value", p, sketch=s1)
+    b_restored = sketch_range_bounds(
+        events, "value", p, sketch=DDSketchPair.from_bytes(s1.to_bytes())
+    )
     row = bucket_balance(events, "value", p, bounds=b1).first()
     b2 = sketch_range_bounds(events.repartition(5, "event_id"), "value", p)
     ideal = 1.0 / p
     return spark.createDataFrame(
         [(p, int(row.n),
           bool(row.max_share <= 1.5 * ideal and row.min_share >= 0.5 * ideal),
-          bool(row.monotonic), bool(b1 == b2))],
+          bool(row.monotonic), bool(b1 == b2), bool(b1 == b_restored))],
         "num_buckets int, n long, balance_ok boolean, monotonic boolean, "
-        "deterministic boolean",
+        "deterministic boolean, restore_identical boolean",
     )
 
 
@@ -1504,7 +1522,8 @@ SELECT 16 AS num_buckets,
        -- the sentinel bucket and are excluded from the share accounting
        CAST(COUNT(*) FILTER (WHERE value IS NOT NULL AND NOT isnan(value))
             AS BIGINT) AS n,
-       TRUE AS balance_ok, TRUE AS monotonic, TRUE AS deterministic
+       TRUE AS balance_ok, TRUE AS monotonic, TRUE AS deterministic,
+       TRUE AS restore_identical
 FROM events
 """
 
@@ -3193,15 +3212,45 @@ SELECT CAST((SELECT COUNT(*) FROM newb) AS BIGINT) AS n_new,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks a positional
-    # prefix (~50) of this registry. Entries not yet holding a driver-green
-    # CORRECTNESS row from the latest round are listed FIRST so every query
-    # accumulates a gate row across rounds (r4 gated positions 1-50; the 18
-    # entries it skipped lead here — all were green in the local all-68
-    # DuckDB parity suite and/or earlier rounds).
+    # prefix (~50) of this registry, so the prefix rotates every round to
+    # keep every entry's most recent driver-green CORRECTNESS row <= 1
+    # round old (VERDICT r5 item 2). Round-6 order: first the 23 entries
+    # whose latest gate row is r4 (rotated out of r5's positional prefix;
+    # all green in CORRECTNESS_r04 and the local all-73 parity suite),
+    # then the 3 queries whose code changed THIS round
+    # (range_partition_balance gained the serde-restore check,
+    # semantic_dedup_survivors rides the reworked exact engine,
+    # bloom_join_lineitem_parts the 1.2x Bloom sizing headroom), then
+    # r5-green entries; the 23 that fall past the prefix are all r5-green
+    # and untouched this round.
     return {
+        "udds_by_flag_status": _udds_by_flag_status,
+        "dedup_exact_documents": _dedup_exact_documents,
+        "normalized_dedup_docs": _normalized_dedup_docs,
+        "doc_token_stats": _doc_token_stats,
+        "hll_users_by_type": _hll_users_by_type,
+        "cms_event_type_freq": _cms_event_type_freq,
+        "bloom_custkeys": _bloom_custkeys,
+        "heavy_hitters_event_types": _heavy_hitters_event_types,
+        "heavy_hitters_custkeys": _heavy_hitters_custkeys,
+        "kll_price_rank": _kll_price_rank,
+        "tdigest_price_rank": _tdigest_price_rank,
+        "req_price_rank": _req_price_rank,
+        "req_price_rank_lra": _req_price_rank_lra,
+        "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
+        "dd_quantiles_by_type": _dd_quantiles_by_type,
+        "ddog_grouped_window_check": _ddog_grouped_window_check,
+        "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
+        "ngram_jaccard_docs": _ngram_jaccard_docs,
+        "decontam_docs": _decontam_docs,
+        "asof_error_last_click": _asof_error_last_click,
+        "events_sessionization": _events_sessionization,
+        "boilerplate_line_dedup": _boilerplate_line_dedup,
+        "moments_price_by_flag": _moments_price_by_flag,
         "range_partition_balance": _range_partition_balance,
-        "source_quota_cap": _source_quota_cap,
+        "semantic_dedup_survivors": _semantic_dedup_survivors,
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
+        "source_quota_cap": _source_quota_cap,
         "tfidf_top_terms": _tfidf_top_terms,
         "range_join_value_bands": _range_join_value_bands,
         "profile_events_table": _profile_events_table,
@@ -3220,7 +3269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_report": _pack_sequences_report,
         "winnowing_dup_detection": _winnowing_dup_detection,
         "pii_redaction_stats": _pii_redaction_stats,
-        "semantic_dedup_survivors": _semantic_dedup_survivors,
         "incremental_dedup_check": _incremental_dedup_check,
         "udds_quantile_global": _udds_global,
         "udds_quantile_by_flag": _udds_by_flag,
@@ -3249,29 +3297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_part_types": _set_ops_part_types,
         "theta_custkey_overlap": _theta_custkey_overlap,
         "q5_nation_volume": _q5_nation_volume,
-        "udds_by_flag_status": _udds_by_flag_status,
-        "dedup_exact_documents": _dedup_exact_documents,
-        "normalized_dedup_docs": _normalized_dedup_docs,
-        "doc_token_stats": _doc_token_stats,
-        "hll_users_by_type": _hll_users_by_type,
-        "cms_event_type_freq": _cms_event_type_freq,
-        "bloom_custkeys": _bloom_custkeys,
-        "heavy_hitters_event_types": _heavy_hitters_event_types,
-        "heavy_hitters_custkeys": _heavy_hitters_custkeys,
-        "kll_price_rank": _kll_price_rank,
-        "tdigest_price_rank": _tdigest_price_rank,
-        "req_price_rank": _req_price_rank,
-        "req_price_rank_lra": _req_price_rank_lra,
-        "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
-        "dd_quantiles_by_type": _dd_quantiles_by_type,
-        "ddog_grouped_window_check": _ddog_grouped_window_check,
-        "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
-        "ngram_jaccard_docs": _ngram_jaccard_docs,
-        "decontam_docs": _decontam_docs,
-        "asof_error_last_click": _asof_error_last_click,
-        "events_sessionization": _events_sessionization,
-        "boilerplate_line_dedup": _boilerplate_line_dedup,
-        "moments_price_by_flag": _moments_price_by_flag,
     }
 
 

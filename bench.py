@@ -7,6 +7,18 @@ BENCH_r04.json came back unparseable, VERDICT r4 item 1):
    "queries": {...per-query MEDIAN sec...}, "sf": <dir>}
 The full result (query_spread [min,max], repeats, throughput side metrics,
 pin state) is written to BENCH/last_run.json instead of the stdout line.
+BENCH/last_run.json is UNTRACKED (every run — including the driver's
+post-checkout one — overwrites it); the committed, prose-quotable artifact
+is BENCH/pinned_run.json, updated only by a deliberate `bench.py --pin`
+(VERDICT r5 item 1: the SURVEY-headline pin test anchored to the mutable
+file and failed whenever the driver benched after the final commit).
+
+Headline composition (VERDICT r5 item 5): entries that exist to VERIFY an
+operator's contract rather than to time its single-pass use (currently
+`range_partition_balance`, which deliberately pays two sketch fills plus a
+balance audit) are timed under `verification_queries` / `verification_sec`
+and EXCLUDED from the headline `value`, so the headline stays comparable
+round-over-round as gate scaffolding grows.
 
 Noise control: every timed entry runs SPARK_GRAFT_REPEATS times (default 3)
 and reports the per-query median, with [min, max] spread alongside — this VM's
@@ -69,14 +81,15 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
                       shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32)
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
+    verification: dict[str, float] = {}  # gate scaffolding, not headline
     raw_median: dict[str, float] = {}  # unrounded, for throughput division
     spread: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
-    def record(name: str, fn) -> None:
+    def record(name: str, fn, into: dict | None = None) -> None:
         s = _timed(fn, repeats)
         raw_median[name] = statistics.median(s)
-        timings[name] = round(raw_median[name], 3)
+        (timings if into is None else into)[name] = round(raw_median[name], 3)
         spread[name] = [round(s[0], 3), round(s[-1], 3)]
 
     qs = entry.queries()
@@ -109,10 +122,18 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "pii_redaction_stats",
         "semantic_dedup_survivors",
         "incremental_dedup_check",
-        "range_partition_balance",
         "source_quota_cap",
     ]:
         record(name, lambda name=name: qs[name](spark, sf_dir).count())
+    # verification entries: the query's cost is dominated by deliberate
+    # contract-checking scaffolding (range_partition_balance pays THREE
+    # bound computations — fresh fill, serde-restored state, different
+    # physical layout — plus the balance audit; the operator itself is one
+    # sketch pass at use-sites). Timed and spread-tracked like everything
+    # else, but summed separately so the headline compares operator cost.
+    for name in ["range_partition_balance"]:
+        record(name, lambda name=name: qs[name](spark, sf_dir).count(),
+               into=verification)
 
     # sketch throughput on the north_rule transcript shape: generate (timed
     # separately), then fill+merge, report turns/sec over the sketch phase
@@ -196,6 +217,8 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "verification_queries": verification,
+        "verification_sec": round(sum(verification.values()), 3),
         "query_spread": spread,
         "repeats": repeats,
         "pinned": os.environ.get("_SG_PINNED") == "1",
@@ -227,9 +250,12 @@ def _load_round(path: str) -> dict | None:
             return json.loads(tail[idx:])
         except json.JSONDecodeError:
             pass  # head present but line cut off mid-stream: fall through
-    # partial recovery: per-query pairs that appear before "query_spread"
-    cut = tail.find('"query_spread"')
-    head = tail if cut < 0 else tail[:cut]
+    # partial recovery: per-query pairs that appear before the first
+    # non-headline section (verification entries must not leak into the
+    # recovered headline sum)
+    cuts = [c for c in (tail.find('"verification_queries"'),
+                        tail.find('"query_spread"')) if c >= 0]
+    head = tail[:min(cuts)] if cuts else tail
     pairs = re.findall(r'"([a-z][a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', head)
     queries = {k: float(v) for k, v in pairs
                if k not in ("value", "sf", "transcript_gen_sec")}
@@ -297,9 +323,29 @@ def emit_history() -> None:
           + ", ".join(tag for tag, _ in rounds))
 
 
+def pin_last_run() -> None:
+    """Promote BENCH/last_run.json (untracked, overwritten every run) to
+    BENCH/pinned_run.json (committed; the artifact SURVEY quotes and the
+    headline pin test reads). Deliberate-commit-only update path."""
+    import shutil
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "BENCH", "last_run.json")
+    dst = os.path.join(here, "BENCH", "pinned_run.json")
+    with open(src) as f:
+        doc = json.load(f)  # refuse to pin an unparseable artifact
+    shutil.copyfile(src, dst)
+    print(f"pinned {doc['value']}s over {len(doc['queries'])} headline + "
+          f"{len(doc.get('verification_queries', {}))} verification entries "
+          f"-> {dst}")
+
+
 def main() -> None:
     if "--history" in sys.argv:
         emit_history()
+        return
+    if "--pin" in sys.argv:
+        pin_last_run()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -310,7 +356,9 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH", "last_run.json"), "w") as f:
         json.dump(result, f, indent=2)
-    compact = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    compact = {k: result[k] for k in ("metric", "value", "unit", "queries",
+                                      "verification_queries",
+                                      "verification_sec", "sf")}
     line = json.dumps(compact)
     if len(line) >= 1800:
         # never abort a completed run (and never replace the line with a

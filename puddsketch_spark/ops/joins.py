@@ -41,14 +41,18 @@ def bloom_key_filter(
     count only picks num_bits, and a few percent of sizing error moves the
     realized fpr marginally while false negatives stay impossible, so an
     exact COUNT(DISTINCT) — a full shuffle of the build side at scale —
-    buys nothing. The 1.1x headroom absorbs HLL++'s underestimate tail."""
+    buys nothing. The 1.2x headroom covers HLL++'s underestimate tail out
+    to ~4 sigma at the default 5% rsd (ADVICE r5: 1.1x left ~2-sigma
+    underestimates realizing a worse fpr than requested); callers that
+    need a strictly honored fpr budget should pass ``expected=``
+    explicitly — the sized filter then honors ``fpr`` by construction."""
     from ..spark.agg import sketch_global
 
     if expected is None:
         est = build.agg(
             F.approx_count_distinct(key_col).alias("d")
         ).first()["d"]
-        expected = int(est * 1.1) + 1
+        expected = int(est * 1.2) + 1
     num_bits, num_hashes = optimal_params(max(expected, 64), fpr=fpr)
     return sketch_global(
         build,

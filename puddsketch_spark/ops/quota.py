@@ -79,6 +79,13 @@ def cap_per_group(
     candidates per group. ``salt_cols`` (default: every column — a
     whole-row content hash) feed the deterministic salt, keeping retries
     and resume stable, as in spark/skew.py.
+
+    Where this sits in a 100 TB curation job: cap FIRST, shuffle LAST.
+    The cap runs before :func:`deterministic_shuffle` (and before the
+    output write generally) because it shrinks the corpus — every row it
+    drops is a row the final range sort never has to move. scripts/
+    curate_job.py sequences exactly this way: dedup/quality/redact →
+    cap_per_group → balance/shuffle → write.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -133,6 +140,14 @@ def deterministic_shuffle(
     same order on any run, cluster size, or physical layout, unlike
     ``orderBy(rand())``. One range-sort shuffle; write the result with
     ``.write`` to pin the order on disk.
+
+    Where this sits in a 100 TB curation job: ONCE, at write time, after
+    every row-dropping stage (dedup, quality filters, cap_per_group). A
+    global range sort moves the entire surviving corpus — at 100 TB it is
+    the single most expensive intentional shuffle in the pipeline — so it
+    must never run on rows a later stage will drop, and never more than
+    once. scripts/curate_job.py enforces the composition by sequencing it
+    last (``--shuffle-output``), immediately before the write.
     """
     if not id_cols:
         # xxhash64(seed) alone is one constant — a total tie, i.e. the

@@ -247,14 +247,19 @@ def semantic_dedup(
     this extends the repo's dedup family: exact / MinHash / SimHash /
     n-gram / hyperplane-LSH / semantic.)
 
-    engine="exact": all-pairs cosine as ONE Arrow-batched matmul per batch
-    against a broadcast (id, matrix) snapshot of the table — the
-    oracle-replayable path (float64 throughout; BLAS-vs-sequential
-    summation differs ~1e-15, far inside any sane threshold margin).
-    O(n^2) flops but a single scan; REFUSED above ``max_exact`` rows — an
-    all-pairs pass at corpus scale is a non-starter, which is what the ivf
-    engine is for (the bounded collect-and-broadcast is the same recipe
-    kmeans_centroids documents).
+    engine="exact": the table is snapshotted ONCE (bounded by
+    ``max_exact``), the full dropped-id set is computed driver-side by a
+    blocked numpy matmul over that single snapshot, and survivors come
+    from a broadcast anti-join on ``id_col`` — the oracle-replayable path
+    (float64 throughout; BLAS-vs-sequential summation differs ~1e-15, far
+    inside any sane threshold margin). Every drop decision is made from
+    one materialization, so a nondeterministic lineage (sample/rand/
+    re-read) cannot disagree with itself mid-scan; only ``id_col`` must be
+    stable across evaluations, the same contract the ivf engine carries.
+    O(n^2) flops but REFUSED above ``max_exact`` rows — an all-pairs pass
+    at corpus scale is a non-starter, which is what the ivf engine is for
+    (the bounded collect-and-broadcast is the same recipe kmeans_centroids
+    documents).
     engine="ivf": every vector lands in its ``n_probe`` nearest coarse-
     quantizer cells (multi-probe on the data side), candidate pairs are
     generated per cell (quadratic only within a cell), deduped on (i, j),
@@ -265,8 +270,6 @@ def semantic_dedup(
     if engine not in ("exact", "ivf"):
         raise ValueError("engine must be 'exact' or 'ivf'")
     if engine == "exact":
-        from typing import Iterator
-
         # limit(max_exact+1) bounds what can EVER reach the driver — the
         # size guard must fire before the collect absorbs the table, not
         # after (a bare collect-then-count would OOM the driver first)
@@ -277,33 +280,32 @@ def semantic_dedup(
                 f"semantic_dedup(engine='exact') exceeds max_exact="
                 f"{max_exact} rows; use engine='ivf'"
             )
+        if n == 0:
+            return df
         ids = np.asarray([r[0] for r in rows])  # any orderable id dtype
         mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 to everything
         matn = mat / norms
-        bc = df.sparkSession.sparkContext.broadcast((ids, matn))
         thr = float(threshold)
-
-        def drop_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            all_ids, all_m = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf
-                    continue
-                x = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                xn = np.linalg.norm(x, axis=1, keepdims=True)
-                xn[xn == 0.0] = 1.0
-                sims = (x / xn) @ all_m.T  # (batch, n)
-                lower = (
-                    all_ids[None, :] < pdf[id_col].to_numpy()[:, None]
-                )
-                keep = ~((sims >= thr) & lower).any(axis=1)
-                yield pdf[keep]
-
-        return df.mapInPandas(drop_scan, schema=df.schema)
+        # blocked full-gram pass over the ONE snapshot (peak memory
+        # block x n, ~160 MB at max_exact with block=1024) — decisions
+        # never consult a second evaluation of df
+        dropped_mask = np.zeros(n, dtype=bool)
+        block = 1024
+        for lo in range(0, n, block):
+            sims = matn[lo:lo + block] @ matn.T  # (block, n)
+            lower = ids[None, :] < ids[lo:lo + block, None]
+            dropped_mask[lo:lo + block] = ((sims >= thr) & lower).any(axis=1)
+        dropped_ids = ids[dropped_mask].tolist()
+        if not dropped_ids:
+            return df
+        id_field = df.schema[id_col]
+        dropped = df.sparkSession.createDataFrame(
+            [(i,) for i in dropped_ids],
+            schema=f"{id_col} {id_field.dataType.simpleString()}",
+        )
+        return df.join(F.broadcast(dropped), [id_col], "left_anti")
     else:
         a = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_va"))
         b = df.select(F.col(id_col).alias("_j"), F.col(vec_col).alias("_vb"))

@@ -126,6 +126,18 @@ def main(argv=None) -> int:
     )
     stats.update(pstats)
 
+    # every post-pipeline stage below ACTIONS `curated` before the write
+    # actions it again (the semantic stage's count, the cap's count, the
+    # balance sketch pass) — without a persist HERE, each action re-executes
+    # the whole dedup/quality/redact lineage, multiplying job cost at corpus
+    # scale (ADVICE r5: the persist used to sit below the semantic stage, so
+    # --embeddings plus --cap-per-source/--balance-output re-ran curation
+    # once more than intended)
+    cached = None
+    if args.embeddings or args.cap_per_source or args.balance_output:
+        cached = curated.persist()
+        curated = cached
+
     if args.embeddings:
         from pyspark.sql import functions as F
 
@@ -151,15 +163,6 @@ def main(argv=None) -> int:
         ).select(F.col(args.emb_id_col).alias(args.id_col))
         curated = curated.join(dropped, args.id_col, "left_anti")
         stats["n_after_semantic"] = curated.count()
-
-    # the post-pipeline stages below each ACTION on `curated` (the cap's
-    # count, the balance sketch pass) before the write actions it again —
-    # without a persist every action re-executes the whole dedup/quality/
-    # redact lineage, tripling job cost at corpus scale
-    cached = None
-    if args.cap_per_source or args.balance_output:
-        cached = curated.persist()
-        curated = cached
 
     if args.cap_per_source:
         from pyspark.sql import functions as F

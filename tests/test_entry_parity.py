@@ -105,9 +105,12 @@ def test_documented_query_count():
 
 def test_documented_bench_headline_matches_artifact():
     """SURVEY's quoted bench headline must equal the committed
-    BENCH/last_run.json (r4 item 3: the prose 27.3s figure drifted from
-    the shipped artifact; both files are now committed together and this
-    pin makes silent divergence fail the suite)."""
+    BENCH/pinned_run.json (r4 item 3: prose drift; r5 item 1: the pin
+    first anchored to BENCH/last_run.json, which every bench run —
+    including the driver's post-checkout one — overwrites, so the suite
+    went red in the as-delivered worktree. pinned_run.json is updated
+    only by a deliberate `bench.py --pin` + commit, and last_run.json is
+    untracked)."""
     import json
     import pathlib
     import re
@@ -116,11 +119,39 @@ def test_documented_bench_headline_matches_artifact():
     survey = (root / "SURVEY.md").read_text()
     m = re.search(r"headline sum ([0-9.]+) s over (\d+) timed entries", survey)
     assert m, "SURVEY no longer quotes the bench headline"
-    art = json.loads((root / "BENCH" / "last_run.json").read_text())
+    art = json.loads((root / "BENCH" / "pinned_run.json").read_text())
     assert float(m.group(1)) == art["value"], (
-        f"SURVEY quotes {m.group(1)}s but BENCH/last_run.json has {art['value']}s"
+        f"SURVEY quotes {m.group(1)}s but BENCH/pinned_run.json has "
+        f"{art['value']}s"
     )
     assert int(m.group(2)) == len(art["queries"])
+
+
+def test_bench_live_artifact_is_untracked():
+    """BENCH/last_run.json must stay gitignored: every bench run (including
+    the driver's post-checkout one) overwrites it, so the moment it is
+    tracked again, any committed figure pinned to it goes stale on the next
+    run — exactly the r5 as-delivered-worktree failure. The committed
+    artifact is BENCH/pinned_run.json (updated only via `bench.py --pin`)."""
+    import pathlib
+    import shutil
+    import subprocess
+
+    if shutil.which("git") is None:
+        pytest.skip("git not available")
+    root = pathlib.Path(__file__).resolve().parents[1]
+    if not (root / ".git").exists():
+        pytest.skip("not a git checkout")
+    rc = subprocess.run(
+        ["git", "-C", str(root), "check-ignore", "-q", "BENCH/last_run.json"]
+    ).returncode
+    assert rc == 0, "BENCH/last_run.json is not gitignored"
+    tracked = subprocess.run(
+        ["git", "-C", str(root), "ls-files", "--error-unmatch",
+         "BENCH/last_run.json"],
+        capture_output=True,
+    ).returncode
+    assert tracked != 0, "BENCH/last_run.json is tracked in git again"
 
 
 def test_documented_scaling_matches_baseline():
