@@ -636,6 +636,112 @@ FROM qs CROSS JOIN nn CROSS JOIN nd
 """
 
 
+def _udds_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) quantiles from ONE scan: the
+    finest (flag, status) sketch states fill once (JVM Tungsten histogram,
+    m=0), then every coarser grouping set — per-flag and global — is a
+    merge over the tiny state table (rollup_grouping_sets), never a rescan.
+    The sketch-native one-pass OLAP cube: at 10^12 turns, CUBE as separate
+    GROUP BYs is one full scan per set. m=0 merges are bucket-exact, so
+    all three sets share the bit-exact SQL bucket-walk oracle, and
+    grouping_id follows the SQL convention (bit set = aggregated away)."""
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.spark.agg import (
+        quantile_table,
+        rollup_grouping_sets,
+        sketch_grouped_jvm,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    finest = sketch_grouped_jvm(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], _A, 0
+    ).persist()
+    try:
+        cells = rollup_grouping_sets(
+            finest,
+            [("l_returnflag", "l_linestatus"), ("l_returnflag",), ()],
+            UDDSketch.from_bytes,
+        )
+        qt = quantile_table(
+            cells,
+            ["l_returnflag", "l_linestatus", "grouping_id"],
+            _QS,
+            UDDSketch.from_bytes,
+            extra_cols=["n"],
+        )
+        # one action materializes everything the caller needs; the persist
+        # guards the three set-merges from re-running the fill
+        rows = qt.collect()
+    finally:
+        finest.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, grouping_id int, "
+        "q double, est double, n long",
+    )
+
+
+def _gs_oracle_arm(tag: str, group_cols: list[str], all_cols: list[str]) -> str:
+    """One grouping-set arm of the rollup oracle: the standard bucket-walk
+    (identical libm ops as the kernel) re-grouped from ``keyed`` by THIS
+    arm's columns — each set gets its own cumulative bucket table, exactly
+    as each merged sketch cell covers its own slice. Absent columns are
+    NULL-padded; grouping_id follows the SQL bit convention."""
+    gid = sum(
+        1 << (len(all_cols) - 1 - i)
+        for i, c in enumerate(all_cols)
+        if c not in group_cols
+    )
+    gexpr = "".join(f"{c}, " for c in group_cols)
+    gjoin = "".join(f" AND cum{tag}.{c} = nn.{c}" for c in group_cols)
+    gbyn = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
+    sel = ", ".join(
+        f"kq.{c} AS {c}" if c in group_cols else f"CAST(NULL AS VARCHAR) AS {c}"
+        for c in all_cols
+    )
+    nsel = "".join(f"nn.{c}, " for c in group_cols)
+    return f"""
+SELECT {sel}, CAST({gid} AS INTEGER) AS grouping_id, kq.q AS q,
+       power({_G_SQL}, kq.kq) * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       kq.n AS n
+FROM (
+  SELECT {nsel}qs.q, nn.n,
+         (SELECT MIN(k) FROM cum{tag}
+          WHERE cum{tag}.cumc > CAST(floor(qs.q * (nn.n - 1)) AS BIGINT){gjoin}) AS kq
+  FROM (SELECT {gexpr}COUNT(*) AS n FROM keyed {gbyn}) nn CROSS JOIN qs
+) kq
+"""
+
+
+def _gs_oracle_cum(tag: str, group_cols: list[str]) -> str:
+    gexpr = "".join(f"{c}, " for c in group_cols)
+    gpart = ("PARTITION BY " + ", ".join(group_cols) + " ") if group_cols else ""
+    gby = ", ".join(group_cols + ["k"])
+    return (
+        f"cum{tag} AS (SELECT {gexpr}k, SUM(c) OVER ({gpart}ORDER BY k) AS cumc "
+        f"FROM (SELECT {gexpr}k, COUNT(*) AS c FROM keyed GROUP BY {gby}) b{tag})"
+    )
+
+
+_GS_COLS = ["l_returnflag", "l_linestatus"]
+_UDDS_GS_SQL = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ceil(ln(l_extendedprice)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM lineitem WHERE l_extendedprice >= 2.2250738585072014e-308
+),
+{_gs_oracle_cum("0", _GS_COLS)},
+{_gs_oracle_cum("1", ["l_returnflag"])},
+{_gs_oracle_cum("3", [])},
+qs AS (SELECT * FROM (VALUES (0.5e0),(0.9e0),(0.99e0),(0.999e0)) AS t(q))
+{_gs_oracle_arm("0", _GS_COLS, _GS_COLS)}
+UNION ALL
+{_gs_oracle_arm("1", ["l_returnflag"], _GS_COLS)}
+UNION ALL
+{_gs_oracle_arm("3", [], _GS_COLS)}
+"""
+
+
 # --------------------------------------------------------------------------
 # relational operators
 # --------------------------------------------------------------------------
@@ -3220,9 +3326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the 3 queries whose code changed THIS round
     # (range_partition_balance gained the serde-restore check,
     # semantic_dedup_survivors rides the reworked exact engine,
-    # bloom_join_lineitem_parts the 1.2x Bloom sizing headroom), then
-    # r5-green entries; the 23 that fall past the prefix are all r5-green
-    # and untouched this round.
+    # bloom_join_lineitem_parts the 1.2x Bloom sizing headroom), then the
+    # query NEW this round (udds_grouping_sets), then r5-green entries;
+    # the entries that fall past the prefix are all r5-green and untouched
+    # this round.
     return {
         "udds_by_flag_status": _udds_by_flag_status,
         "dedup_exact_documents": _dedup_exact_documents,
@@ -3250,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_partition_balance": _range_partition_balance,
         "semantic_dedup_survivors": _semantic_dedup_survivors,
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
+        "udds_grouping_sets": _udds_grouping_sets,
         "source_quota_cap": _source_quota_cap,
         "tfidf_top_terms": _tfidf_top_terms,
         "range_join_value_bands": _range_join_value_bands,
@@ -3316,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_quality_report": _UNIGRAM_SQL,
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
+        "udds_grouping_sets": _UDDS_GS_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,
         "streaming_window_check": _STREAM_WIN_SQL,
         "q1_pricing_summary": _Q1_SQL,

@@ -123,6 +123,7 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
         "semantic_dedup_survivors",
         "incremental_dedup_check",
         "source_quota_cap",
+        "udds_grouping_sets",
     ]:
         record(name, lambda name=name: qs[name](spark, sf_dir).count())
     # verification entries: the query's cost is dominated by deliberate

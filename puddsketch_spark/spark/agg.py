@@ -47,6 +47,10 @@ __all__ = [
     "dd_states_grouped_jvm",
     "partial_sketches",
     "merge_grouped",
+    "rollup_grouping_sets",
+    "rollup_cube",
+    "rollup_hierarchy",
+    "rollup_states",
     "sketch_grouped",
     "sketch_global",
     "quantile_table",
@@ -319,6 +323,112 @@ def rollup_states(
         return from_bytes(blobs.treeReduce(merge_bytes, depth=depth))
     finally:
         blobs.unpersist()
+
+
+def rollup_grouping_sets(
+    states: DataFrame,
+    grouping_sets: Sequence[Sequence[str]],
+    from_bytes: Callable[[bytes], object],
+) -> DataFrame:
+    """SQL GROUPING SETS over a sketch-state table: every requested
+    grouping set is derived from ONE finest-grain state table by merging
+    states — the raw table is scanned exactly once (by whoever built
+    ``states``), and each set costs a merge over KB-sized blobs instead of
+    a rescan. The sketch-native form of the classic one-pass OLAP cube: at
+    10^12 turns, ``CUBE(role, tool)`` as four separate aggregations is four
+    full scans; here it is one fill plus three merges of a
+    |distinct(role, tool)|-row table.
+
+    ``states``: DataFrame[cols..., state, n, buckets, collapses, ...] whose
+    grouping columns are (a superset of) the union of ``grouping_sets`` —
+    the output of sketch_grouped / sketch_grouped_jvm / dd_states_grouped_jvm
+    on the FINEST grouping, or a checkpointed state table. The caller
+    persists it (it is tiny); each grouping set references it again.
+
+    Returns DataFrame[all_cols..., grouping_id, state, n, buckets,
+    collapses] — one row per group cell per set, columns absent from a set
+    padded with NULL, and ``grouping_id`` following the SQL / Spark
+    ``grouping_id()`` bit convention (first column of the ordered union =
+    most significant bit; bit set = column aggregated away), so rollup
+    NULLs are distinguishable from data NULLs exactly as in SQL.
+
+    Validity: kernel merge is commutative/associative (property-tested),
+    so every cell equals a direct fill on its slice up to merge effects —
+    bit-identical for UDD m=0 / DD / HLL / CMS / Bloom / theta /
+    moments, bound-preserving for t-digest / Misra-Gries (see
+    sketch_grouped's pre_aggregate note for the same taxonomy).
+    """
+    sets = [list(s) for s in grouping_sets]
+    if not sets:
+        raise ValueError("rollup_grouping_sets: no grouping sets")
+    all_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in all_cols:
+                all_cols.append(c)
+        if len(set(s)) != len(s):
+            raise ValueError(f"duplicate column in grouping set {s}")
+    missing = [c for c in all_cols if c not in states.columns]
+    if missing:
+        raise ValueError(f"states table lacks grouping columns {missing}")
+    dtypes = {f.name: f.dataType for f in states.schema.fields}
+    parts = []
+    for s in sets:
+        gid = sum(
+            1 << (len(all_cols) - 1 - i)
+            for i, c in enumerate(all_cols)
+            if c not in s
+        )
+        if s:
+            m = merge_grouped(states, s, from_bytes)
+        else:
+            # global cell: constant key -> ONE merge group, key dropped
+            m = merge_grouped(
+                states.withColumn("_all", F.lit(1)), ["_all"], from_bytes
+            ).drop("_all")
+        parts.append(
+            m.select(
+                *[
+                    F.col(c) if c in s else F.lit(None).cast(dtypes[c]).alias(c)
+                    for c in all_cols
+                ],
+                F.lit(gid).cast("int").alias("grouping_id"),
+                "state", "n", "buckets", "collapses",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def rollup_cube(
+    states: DataFrame,
+    cols: Sequence[str],
+    from_bytes: Callable[[bytes], object],
+) -> DataFrame:
+    """CUBE(cols): all 2^|cols| grouping sets from one finest state table
+    (SQL ``GROUP BY CUBE`` semantics, sketch-merge cost)."""
+    cols = list(cols)
+    if len(cols) > 10:
+        raise ValueError("rollup_cube: 2^|cols| sets; use rollup_grouping_sets")
+    sets = [
+        [c for i, c in enumerate(cols) if mask & (1 << (len(cols) - 1 - i))]
+        for mask in range((1 << len(cols)) - 1, -1, -1)
+    ]
+    return rollup_grouping_sets(states, sets, from_bytes)
+
+
+def rollup_hierarchy(
+    states: DataFrame,
+    cols: Sequence[str],
+    from_bytes: Callable[[bytes], object],
+) -> DataFrame:
+    """ROLLUP(cols): the prefix chain (c1..ck), (c1..ck-1), ..., () — SQL
+    ``GROUP BY ROLLUP`` semantics at sketch-merge cost."""
+    cols = list(cols)
+    sets = [cols[:i] for i in range(len(cols), -1, -1)]
+    return rollup_grouping_sets(states, sets, from_bytes)
 
 
 def sketch_grouped(

@@ -154,6 +154,32 @@ def test_semantic_dedup_zero_vector_never_fabricates_dups(spark):
         assert out == [1, 2, 3, 4], engine  # nothing dropped, either engine
 
 
+def test_semantic_dedup_exact_engine_shape(spark):
+    """r5 ADVICE rework pin: the exact engine makes every drop decision
+    from ONE collected snapshot and applies it as a broadcast LEFT-ANTI
+    join on the id column — no second scan of df's lineage, no Python
+    evaluation in the survivor plan. Also: empty input and no-drop input
+    return df itself (same plan object, zero added operators)."""
+    # empty input: early return, no collect-era surprises
+    empty = _vecs(spark, [])
+    assert semantic_dedup(empty, threshold=0.5) is empty
+
+    # no drops -> the input DataFrame comes back untouched
+    ortho = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    assert semantic_dedup(ortho, threshold=0.5) is ortho
+
+    # drops -> exactly one BroadcastHashJoin LeftAnti on vec_id, and the
+    # survivor plan never routes rows through Python (BatchEvalPython /
+    # ArrowEvalPython would mean a UDF crept into the hot path)
+    dup = _vecs(spark, [(1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [-1.0, 1.0])])
+    out = semantic_dedup(dup, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    assert plan.count("LeftAnti") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert sorted(r.vec_id for r in out.collect()) == [1, 3]
+
+
 def test_semantic_dedup_ivf_recall_and_guards(spark):
     """Planted exact duplicates always share a cell (identical vectors),
     so the ivf engine must drop every planted copy the exact engine drops;

@@ -654,3 +654,124 @@ def test_dd_grouped_jvm_keeps_null_group(spark):
            for r in dd_states_grouped_jvm(df, "v", ["grp"], alpha=0.01, m=0).collect()}
     assert set(jvm) == {"a", None}
     assert jvm[None].count == 2 and jvm[None].min_value == -7.0
+
+
+# --------------------------------------------------------------------------
+# grouping sets / cube / rollup over sketch states
+# --------------------------------------------------------------------------
+def _gs_fixture(spark):
+    """Small 2-key table with a NULL data key in `tool` so rollup NULLs and
+    data NULLs collide and only grouping_id can separate them."""
+    rows = [
+        ("user", "search", 10.0), ("user", "search", 20.0),
+        ("user", None, 5.0), ("assistant", "search", 40.0),
+        ("assistant", "code", 80.0), ("assistant", "code", 160.0),
+        ("user", "code", 320.0),
+    ]
+    return spark.createDataFrame(rows, "role string, tool string, v double")
+
+
+def test_grouping_sets_cells_bit_identical_to_direct_fill(spark):
+    """Every grouping-set cell merged from the finest states must be
+    bucket-for-bucket identical (m=0: no collapses, merge = exact bucket
+    sum) to a direct sketch_grouped fill on that slice."""
+    from puddsketch_spark.spark.agg import rollup_grouping_sets
+
+    df = _gs_fixture(spark)
+    fac = lambda: UDDSketch(initial_alpha=0.01, m=0)  # noqa: E731
+    states = sketch_grouped(df, "v", ["role", "tool"], fac,
+                            UDDSketch.from_bytes).persist()
+    out = rollup_grouping_sets(
+        states, [("role", "tool"), ("role",), ("tool",), ()],
+        UDDSketch.from_bytes,
+    ).collect()
+    states.unpersist()
+    assert {r.grouping_id for r in out} == {0, 1, 2, 3}
+
+    # direct fills per set
+    for gid, cols in ((0, ["role", "tool"]), (1, ["role"]), (2, ["tool"])):
+        direct = {
+            tuple(r[c] for c in cols): UDDSketch.from_bytes(r.state)
+            for r in sketch_grouped(df, "v", cols, fac,
+                                    UDDSketch.from_bytes).collect()
+        }
+        got = {r for r in out if r.grouping_id == gid}
+        assert len(got) == len(direct)
+        for r in got:
+            d = direct[tuple(r[c] for c in cols)]
+            m = UDDSketch.from_bytes(r.state)
+            assert m.count == d.count == r.n
+            assert m.to_bytes() == d.to_bytes()  # bucket-for-bucket
+    # global cell
+    (g,) = [r for r in out if r.grouping_id == 3]
+    direct_g = sketch_global(df, "v", fac, UDDSketch.from_bytes)
+    assert g.role is None and g.tool is None
+    assert UDDSketch.from_bytes(g.state).to_bytes() == direct_g.to_bytes()
+    assert g.n == df.count()
+
+
+def test_grouping_sets_gid_matches_spark_cube(spark):
+    """grouping_id must follow Spark's own grouping_id() bit convention,
+    cell-for-cell, on a full cube (counts as the comparable metric)."""
+    from puddsketch_spark.spark.agg import rollup_cube
+
+    df = _gs_fixture(spark)
+    fac = lambda: UDDSketch(initial_alpha=0.01, m=0)  # noqa: E731
+    states = sketch_grouped(df, "v", ["role", "tool"], fac,
+                            UDDSketch.from_bytes).persist()
+    ours = {
+        (r.role, r.tool, r.grouping_id): r.n
+        for r in rollup_cube(states, ["role", "tool"],
+                             UDDSketch.from_bytes).collect()
+    }
+    states.unpersist()
+    sparks = {
+        (r.role, r.tool, r.gid): r.cnt
+        for r in df.cube("role", "tool")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert ours == sparks  # data-NULL vs rollup-NULL separated identically
+
+
+def test_rollup_hierarchy_prefix_chain(spark):
+    from puddsketch_spark.spark.agg import rollup_hierarchy
+
+    df = _gs_fixture(spark)
+    fac = lambda: UDDSketch(initial_alpha=0.01, m=0)  # noqa: E731
+    states = sketch_grouped(df, "v", ["role", "tool"], fac,
+                            UDDSketch.from_bytes).persist()
+    out = rollup_hierarchy(states, ["role", "tool"], UDDSketch.from_bytes)
+    rows = out.collect()
+    states.unpersist()
+    # ROLLUP(role, tool) -> gids {0 (role,tool), 1 (role), 3 ()} — never 2
+    assert {r.grouping_id for r in rows} == {0, 1, 3}
+    spark_rollup = df.rollup("role", "tool").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("cnt")).collect()
+    assert len(rows) == len(spark_rollup)
+
+
+def test_grouping_sets_guards_and_one_scan_plan(spark):
+    """Bad inputs raise; and with a persisted finest-state table the result
+    plan references the cache (InMemory scan), never a fresh source scan —
+    the one-scan contract the operator exists for."""
+    from puddsketch_spark.spark.agg import rollup_grouping_sets
+
+    df = _gs_fixture(spark)
+    fac = lambda: UDDSketch(initial_alpha=0.01, m=0)  # noqa: E731
+    states = sketch_grouped(df, "v", ["role", "tool"], fac,
+                            UDDSketch.from_bytes).persist()
+    states.count()  # materialize the cache
+
+    with pytest.raises(ValueError, match="no grouping sets"):
+        rollup_grouping_sets(states, [], UDDSketch.from_bytes)
+    with pytest.raises(ValueError, match="duplicate column"):
+        rollup_grouping_sets(states, [("role", "role")], UDDSketch.from_bytes)
+    with pytest.raises(ValueError, match="lacks grouping columns"):
+        rollup_grouping_sets(states, [("nope",)], UDDSketch.from_bytes)
+
+    out = rollup_grouping_sets(states, [("role",), ()], UDDSketch.from_bytes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "Scan ExistingRDD" not in plan or "InMemoryTableScan" in plan
+    states.unpersist()
