@@ -79,7 +79,63 @@ def parse_args(argv=None):
                           "subset of the stored grouping)")
     p.add_argument("--output", help="parquet dir for the quantile table (default: stdout)")
     p.add_argument("--master", default=None)
+    gs = p.add_mutually_exclusive_group()
+    gs.add_argument("--grouping-sets", nargs="+", metavar="COLS",
+                    help="SQL GROUPING SETS from ONE grouped fill: each spec "
+                         "is a comma-joined subset of --group-by ('' = the "
+                         "global cell), e.g. --grouping-sets role,tool role "
+                         "''. Coarser sets are derived by merging the finest "
+                         "states — one scan total, never a rescan. Output "
+                         "gains a grouping_id column (SQL bit convention).")
+    gs.add_argument("--cube", action="store_true",
+                    help="GROUP BY CUBE(--group-by): all 2^k subsets, one scan")
+    gs.add_argument("--rollup", action="store_true",
+                    help="GROUP BY ROLLUP(--group-by): prefix chain, one scan")
     return p.parse_args(argv)
+
+
+def _rollup_sets(args, group: list[str]) -> list[list[str]] | None:
+    """Resolve --grouping-sets/--cube/--rollup to explicit column sets
+    (None when no rollup was requested). Validated against --group-by."""
+    if not (args.grouping_sets or args.cube or args.rollup):
+        return None
+    if not group:
+        raise SystemExit("--grouping-sets/--cube/--rollup need --group-by")
+    if args.cube:
+        return [
+            [c for i, c in enumerate(group) if mask & (1 << (len(group) - 1 - i))]
+            for mask in range((1 << len(group)) - 1, -1, -1)
+        ]
+    if args.rollup:
+        return [group[:i] for i in range(len(group), -1, -1)]
+    sets = []
+    for spec in args.grouping_sets:
+        s = [c for c in spec.split(",") if c]
+        bad = [c for c in s if c not in group]
+        if bad:
+            raise SystemExit(
+                f"--grouping-sets columns {bad} not in --group-by {group}")
+        sets.append(s)
+    return sets
+
+
+def _rollup_out(merged, sets, group, args, fb):
+    """Shared finalize for the rollup paths: grouping-set cells from the
+    (persisted) finest state table, rendered per kernel kind."""
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.spark.agg import quantile_table, rollup_grouping_sets
+
+    cells = rollup_grouping_sets(merged, sets, fb)
+    gcols = group + ["grouping_id"]
+    if args.sketch in ("hll", "theta"):
+        est = F.udf(lambda b: int(round(fb(bytes(b)).estimate())), "long")
+        return cells.select(*gcols, est("state").alias("distinct_est"))
+    if args.sketch == "moments":
+        from puddsketch_spark.spark.sketches import moments_table
+
+        return moments_table(cells, gcols)
+    return quantile_table(cells, gcols, args.quantiles, fb, extra_cols=["n"])
 
 
 def main(argv=None) -> int:
@@ -140,6 +196,18 @@ def main(argv=None) -> int:
                     f"state table {args.from_states} was saved with "
                     f"--sketch {stored_kernel}, not --sketch {args.sketch}; "
                     "blobs are not interchangeable between kernels")
+        sets = _rollup_sets(args, group)
+        if sets is not None:
+            # grouping-set rollup WITHOUT any raw-data scan: the saved
+            # finest states are merged once per requested set
+            states = states.persist()
+            try:
+                out = _rollup_out(states, sets, group, args, fb)
+                rc = _emit(args, spark, out, t0)
+            finally:
+                states.unpersist()
+            spark.stop()
+            return rc
         if args.sketch in ("hll", "theta"):
             if group:
                 from pyspark.sql import functions as F
@@ -196,6 +264,7 @@ def main(argv=None) -> int:
                                 args.salt_buckets)
 
     group = list(args.group_by)
+    sets = _rollup_sets(args, group)  # None unless a rollup flag was given
     merged = None  # grouped state table, when the chosen path produces one
     if args.sketch == "udds" and args.compat:
         # compat keys come from the reference fast-log — a Python kernel
@@ -231,6 +300,14 @@ def main(argv=None) -> int:
             out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
         elif args.engine == "jvm" and group:
             merged = sketch_grouped_jvm(df, args.feature, group, args.alpha, args.max_buckets)
+            out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
+        elif sets is not None and group:
+            # the arrow-engine rollup path also needs the state table
+            merged = sketch_grouped(
+                df, args.feature, group,
+                lambda: UDDSketch(initial_alpha=args.alpha, m=args.max_buckets),
+                UDDSketch.from_bytes, pre_aggregate=args.pre_aggregate,
+            )
             out = quantile_table(merged, group, args.quantiles, UDDSketch.from_bytes)
         else:
             out = udds_quantiles(df, args.feature, group, args.quantiles,
@@ -290,6 +367,27 @@ def main(argv=None) -> int:
                                     pre_aggregate=args.pre_aggregate)
         out = quantile_table(merged, group, args.quantiles, from_bytes)
 
+    if sets is not None:
+        if merged is None:
+            raise SystemExit(
+                "--grouping-sets/--cube/--rollup need a grouped state-table "
+                "path (udds/kll/tdigest/moments/hll/theta with --group-by; "
+                "--sketch dd emits quantiles directly, no state table)")
+        from puddsketch_spark.core import (
+            DDSketchPair,  # noqa: F401 (kernel table completeness)
+            HLLSketch,
+            MomentsSketch,
+            ThetaSketch,
+        )
+
+        rfb = {"udds": UDDSketch, "kll": KLLSketch, "tdigest": TDigest,
+               "moments": MomentsSketch, "hll": HLLSketch,
+               "theta": ThetaSketch}[args.sketch].from_bytes
+        # the finest table feeds one merge per set — persist so the fill
+        # runs once across sets (and is shared with --save-states below)
+        merged = merged.persist()
+        out = _rollup_out(merged, sets, group, args, rfb)
+
     if args.save_states:
         if merged is None:
             raise SystemExit("--save-states needs a grouped udds/kll/tdigest/"
@@ -307,7 +405,7 @@ def main(argv=None) -> int:
         rc = _emit(args, spark, out, t0)
     finally:
         # before spark.stop(): unpersisting against a stopped session NPEs
-        if args.save_states and merged is not None:
+        if (args.save_states or sets is not None) and merged is not None:
             merged.unpersist()
     spark.stop()
     return rc
