@@ -55,6 +55,42 @@ def _maybe_pin(cpus: str) -> None:
               + sys.argv)
 
 
+def _machine_probe() -> dict:
+    """Calibration: fixed CPU-bound work, timed single-thread and on every
+    core at once. Recorded in the artifact so round-over-round headline
+    drift can be attributed (slow machine vs slow code) from the shipped
+    numbers alone — three rounds running, uniform drift on untouched
+    pure-Catalyst queries needed a manual pinned A/B to attribute; the
+    probe ships that evidence with every run. Elementwise numpy streaming
+    ops: single-threaded by construction (no BLAS thread pool) and
+    memory-bandwidth sensitive — the resource noisy neighbors actually
+    contend on, which plain Python loops miss."""
+    import multiprocessing as mp
+
+    one = min(_probe_child(0) for _ in range(3))
+    n = os.cpu_count() or 1
+    with mp.Pool(n) as pool:
+        allc = sorted(pool.map(_probe_child, range(n)))
+    return {
+        "probe_1t_sec": round(one, 4),
+        # median across workers: the machine's effective per-core speed
+        # under full load (contention + SMT + any host throttling)
+        "probe_allcore_sec": round(allc[n // 2], 4),
+        "probe_cores": n,
+    }
+
+
+def _probe_child(_i: int) -> float:
+    import numpy as np
+
+    a = np.arange(4_000_000, dtype=np.float64)  # 32 MB: spills the cache
+    b = np.ones_like(a)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        a = a * 1.0000001 + b
+    return time.perf_counter() - t0
+
+
 def _timed(fn, repeats: int) -> list[float]:
     """Run fn repeats times, return sorted wall times."""
     samples = []
@@ -76,6 +112,11 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     from puddsketch_spark.spark.session import get_spark
 
     import __spark_entry__ as entry
+
+    # calibration BEFORE the session exists (and again after it stops):
+    # attributes round-over-round drift to machine speed vs code from the
+    # shipped artifact alone
+    probe0 = _machine_probe()
 
     spark = get_spark(app_name=f"bench[{cpus}]", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32)
@@ -212,6 +253,9 @@ def run_bench(sf_dir: str, cpus: str, n_turn_target: int = 2_000_000) -> dict:
     assert n_pairs >= 100  # the planted duplicates must all surface
 
     spark.stop()
+    probe1 = _machine_probe()
+    extras["machine_probe_start"] = probe0
+    extras["machine_probe_end"] = probe1
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline query wall time (sum of medians)",

@@ -284,6 +284,81 @@ def test_streaming_states_feed_batch_rollup(spark, tmp_path):
     assert g.count == len(rows)
 
 
+def test_streaming_states_feed_grouping_sets_cube(spark, tmp_path):
+    """Lambda architecture, cube edition: the stream maintains only the
+    FINEST grouping's states (role, tool); batch derives the full
+    CUBE(role, tool) from those streamed states by sketch merges — no
+    raw-data rescan — and every cube cell is bucket-identical (m=0) to a
+    direct fill on that cell's slice of the streamed rows. A data-NULL
+    tool value is planted so the test also proves grouping_id keeps
+    rollup NULLs separable from data NULLs across the stream/batch
+    boundary."""
+    from puddsketch_spark.spark.agg import rollup_cube
+    from puddsketch_spark.streaming.sketch_stream import streaming_sketch
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    src = str(tmp_path / "gs_src")
+    ckpt = str(tmp_path / "gs_ckpt")
+    rng = np.random.default_rng(11)
+    roles = ["user", "assistant"]
+    tools = ["search", "code", None]  # None = data NULL, not rollup NULL
+    rows = [(roles[i % 2], tools[i % 3], float(v))
+            for i, v in enumerate(rng.uniform(1, 1000, 6000))]
+    schema_str = "role string, tool string, text_len double"
+    spark.createDataFrame(rows[:3000], schema_str).coalesce(2).write.mode(
+        "overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema_str).parquet(src)
+    out = streaming_sketch(
+        stream, "text_len", ["role", "tool"],
+        factory=lambda: UDDSketch(initial_alpha=0.01, m=0),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: (sk.to_bytes(), sk.count),
+        finalize_schema=StructType([
+            StructField("state", BinaryType(), False),
+            StructField("n", LongType(), False),
+        ]),
+    )
+    q = (out.writeStream.format("memory").queryName("gs_state_out")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # second micro-batch: the stream's state must keep accumulating
+        spark.createDataFrame(rows[3000:], schema_str).coalesce(2).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        finest = (spark.sql("select * from gs_state_out")
+                  .orderBy(F.desc("n"))
+                  .dropDuplicates(["role", "tool"]))
+        cube = rollup_cube(finest, ["role", "tool"], UDDSketch.from_bytes)
+        got = cube.collect()
+    finally:
+        q.stop()
+
+    # 2 roles x 3 tools(+NULL) cells, 2 role subtotals, 3 tool subtotals,
+    # 1 grand total
+    assert len(got) == 6 + 2 + 3 + 1
+    for r in got:
+        keep_role = not (r.grouping_id & 0b10)
+        keep_tool = not (r.grouping_id & 0b01)
+        slice_vals = [v for role, tool, v in rows
+                      if (not keep_role or role == r.role)
+                      and (not keep_tool or tool == r.tool)]
+        direct = UDDSketch(initial_alpha=0.01, m=0).update(
+            np.array(slice_vals))
+        cell = UDDSketch.from_bytes(r.state)
+        assert cell.count == len(slice_vals) > 0
+        assert cell.same_buckets(direct)
+    # the data-NULL tool cell (grouping_id 0) and the tool subtotal for
+    # role=NULL-by-rollup (grouping_id 2) coexist and differ in count
+    data_null = [r for r in got if r.grouping_id == 0 and r.tool is None]
+    rolled = [r for r in got if r.grouping_id == 0b01]
+    assert len(data_null) == 2 and len(rolled) == 2
+    assert all(dn.n * 3 == ro.n for dn, ro in
+               zip(sorted(data_null, key=lambda r: r.role),
+                   sorted(rolled, key=lambda r: r.role)))
+
+
 def test_sliding_windows_overlap_and_finalize(spark, tmp_path):
     """slide < window: each row lands in window/slide overlapping windows;
     every finalized sliding window's count matches a batch recount of its
