@@ -742,6 +742,35 @@ UNION ALL
 """
 
 
+def _sql_surface_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered SQL surface end-to-end (spark/sqlfns.py): a pure
+    ``spark.sql`` text query fills per-flag UDD states with the
+    ``udds_sketch`` grouped-agg UDAF and extracts quantiles/counts with
+    ``udds_quantile`` / ``udds_count`` — no Python DataFrame API in the
+    query at all. At m=0 the SQL-surface fill is bit-identical to the
+    two-stage fill (pytest-pinned in tests/test_sqlfns.py), so this
+    shares the exact bucket-walk oracle with udds_quantile_by_flag.
+    Scale note: the grouped-agg fill shuffles raw rows (no partial agg);
+    at corpus scale the SQL idiom is `udds_merge` over a saved state
+    table — the fill here doubles as the gate check for that kernel
+    path, since merge == fill at m=0 (test_udds_merge_regroups...)."""
+    from puddsketch_spark.spark.sqlfns import register_sql_functions
+
+    register_sql_functions(spark, alpha=_A, m=0)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlsurf_lineitem")
+    return spark.sql("""
+        WITH states AS (
+          SELECT l_returnflag, udds_sketch(l_extendedprice) AS state
+          FROM sqlsurf_lineitem GROUP BY l_returnflag
+        ),
+        qs AS (SELECT * FROM VALUES (0.5D),(0.9D),(0.99D),(0.999D) AS t(q))
+        SELECT s.l_returnflag, qs.q AS q,
+               udds_quantile(s.state, qs.q) AS est,
+               udds_count(s.state) AS n
+        FROM states s CROSS JOIN qs
+    """)
+
+
 # --------------------------------------------------------------------------
 # relational operators
 # --------------------------------------------------------------------------
@@ -3358,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_survivors": _semantic_dedup_survivors,
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
         "udds_grouping_sets": _udds_grouping_sets,
+        "sql_surface_quantiles": _sql_surface_quantiles,
         "source_quota_cap": _source_quota_cap,
         "tfidf_top_terms": _tfidf_top_terms,
         "range_join_value_bands": _range_join_value_bands,
@@ -3425,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_multi_feature": _UDDS_MULTI_SQL,
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "udds_grouping_sets": _UDDS_GS_SQL,
+        "sql_surface_quantiles": _udds_oracle("l_returnflag"),
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,
         "streaming_window_check": _STREAM_WIN_SQL,
         "q1_pricing_summary": _Q1_SQL,

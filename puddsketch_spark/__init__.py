@@ -35,4 +35,8 @@ def __getattr__(name):
         from .spark import sketches
 
         return getattr(sketches, name)
+    if name == "register_sql_functions":
+        from .spark import sqlfns
+
+        return sqlfns.register_sql_functions
     raise AttributeError(name)

@@ -20,6 +20,19 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # Executor Python workers do NOT inherit driver-side sys.path edits, so
+    # a package imported via sys.path.insert (not pip-installed) raises
+    # ModuleNotFoundError inside every pandas UDF. Local-mode workers DO
+    # inherit the env the JVM was launched with — exporting PYTHONPATH
+    # before the session starts closes the gap. On a real cluster this is
+    # spark-submit --py-files puddsketch_spark.zip (README); the env var is
+    # set unconditionally because it is driver-local and harmless there.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if pkg_root not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [pkg_root] + [p for p in parts if p])
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

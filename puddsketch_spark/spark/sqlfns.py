@@ -1,0 +1,245 @@
+"""Spark SQL surface for the sketch kernels: register the fills, merges
+and extractors as SQL-callable functions so a pure ``spark.sql`` user can
+sketch without touching the Python API.
+
+After ``register_sql_functions(spark)``::
+
+    SELECT role, udds_quantile(udds_sketch(text_len), 0.99) AS p99
+    FROM transcripts GROUP BY role
+
+Three function shapes per kernel family:
+
+- ``{name}_sketch(value)``  — grouped-agg pandas UDAF: raw values of one
+  group -> one serialized state blob (the registration-time
+  alpha/m/p/k/delta config is baked in; register twice with different
+  ``prefix`` for different configs).
+- ``{name}_merge(state)``   — grouped-agg pandas UDAF: partial state
+  blobs -> one merged blob. This is the SCALE path in SQL: re-group a
+  checkpointed/finest state table to any coarser grain by merging
+  KB-sized blobs, exactly like ``rollup_states`` /
+  ``rollup_grouping_sets`` (spark/agg.py), with no raw-data rescan.
+- extractors — vectorized scalar pandas UDFs over state blobs
+  (``udds_quantile(state, q)``, ``hll_estimate(state)``, ...). They run
+  over MERGED state tables whose row count is the group cardinality,
+  so the per-row ``from_bytes`` is off the hot path by construction.
+
+Scale note (documented, deliberate): a grouped-agg pandas UDAF has NO
+partial aggregation — Spark shuffles the group's RAW rows to one task
+and materializes them in memory (pyspark.sql.functions.pandas_udf docs).
+``{name}_sketch`` over a raw 10^12-row table is therefore the
+convenience path only; the two-stage fills (``sketch_grouped_jvm`` /
+``sketch_grouped`` with map-side partials, spark/agg.py) remain the
+100 TB fill path. The intended big-data SQL idiom is: fill states with
+the two-stage API (or a previous ``{name}_sketch`` at finer grain),
+save the state table, then do all SQL-side regrouping with
+``{name}_merge`` + extractors — blobs only, never raw rows.
+
+Kernel semantics are the library's own (core/): reference parity for
+UDD per /root/reference/psketches/uddsketch.cpp (fills here are
+bit-identical to sketch_grouped at m=0 — pytest-pinned), companions per
+their papers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, DoubleType, LongType
+
+from ..core import (
+    DDSketchPair,
+    HLLSketch,
+    MomentsSketch,
+    TDigest,
+    ThetaSketch,
+    UDDSketch,
+)
+
+__all__ = ["register_sql_functions"]
+
+
+def _fill_udf(factory: Callable[[], object], numeric: bool):
+    """Grouped-agg UDAF: one group's raw values -> serialized state."""
+
+    @F.pandas_udf(BinaryType())
+    def fill(v: pd.Series) -> bytes:
+        sk = factory()
+        v = v.dropna()
+        if len(v):
+            sk.update(v.to_numpy(dtype=np.float64) if numeric
+                      else v.to_numpy())
+        return sk.to_bytes()
+
+    return fill
+
+
+def _merge_udf(from_bytes: Callable[[bytes], object]):
+    """Grouped-agg UDAF: one group's state blobs -> merged state blob.
+
+    Merge order inside the group is arbitrary — valid because every
+    kernel merge is commutative/associative (property-tested in
+    tests/test_properties.py)."""
+
+    @F.pandas_udf(BinaryType())
+    def merge(states: pd.Series) -> bytes:
+        sk = None
+        for blob in states.dropna():
+            part = from_bytes(bytes(blob))
+            sk = part if sk is None else sk.merge(part)
+        if sk is None:
+            raise ValueError("merge over zero non-NULL states")
+        return sk.to_bytes()
+
+    return merge
+
+
+def _state_scalar_udf(from_bytes, extract, ret_type):
+    """Scalar pandas UDF state -> extract(sketch); vectorized per batch,
+    per-row from_bytes (runs over merged state tables: rows = groups)."""
+
+    @F.pandas_udf(ret_type)
+    def fn(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if blob is None else extract(from_bytes(bytes(blob)))
+             for blob in states])
+
+    return fn
+
+
+def _state_arg_scalar_udf(from_bytes, extract, ret_type):
+    """Scalar pandas UDF (state, arg) -> extract(sketch, arg)."""
+
+    @F.pandas_udf(ret_type)
+    def fn(states: pd.Series, args: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if blob is None else extract(from_bytes(bytes(blob)), a)
+             for blob, a in zip(states, args)])
+
+    return fn
+
+
+def register_sql_functions(
+    spark: SparkSession,
+    *,
+    prefix: str = "",
+    alpha: float = 0.01,
+    m: int = 200,
+    dd_m: int = 500,
+    hll_p: int = 14,
+    theta_k: int = 4096,
+    tdigest_delta: int = 200,
+) -> list[str]:
+    """Register every sketch SQL function on ``spark``; returns the
+    registered names. Re-registration replaces (idempotent); use
+    ``prefix`` to register a second config side by side
+    (``register_sql_functions(spark, prefix="fine_", alpha=1e-3)``)."""
+
+    fns: dict[str, object] = {}
+
+    # ---- quantiles: UDD (the core kernel) + t-digest -------------------
+    fns["udds_sketch"] = _fill_udf(
+        lambda: UDDSketch(initial_alpha=alpha, m=m), numeric=True)
+    fns["udds_merge"] = _merge_udf(UDDSketch.from_bytes)
+    fns["udds_quantile"] = _state_arg_scalar_udf(
+        UDDSketch.from_bytes, lambda sk, q: float(sk.quantile(float(q))),
+        DoubleType())
+    fns["udds_count"] = _state_scalar_udf(
+        UDDSketch.from_bytes, lambda sk: int(sk.count), LongType())
+
+    # signed values (pos+neg+zero stores): DDSketch pair
+    fns["dd_sketch"] = _fill_udf(
+        lambda: DDSketchPair(initial_alpha=alpha, m=dd_m), numeric=True)
+    fns["dd_merge"] = _merge_udf(DDSketchPair.from_bytes)
+    fns["dd_quantile"] = _state_arg_scalar_udf(
+        DDSketchPair.from_bytes, lambda sk, q: float(sk.quantile(float(q))),
+        DoubleType())
+    fns["dd_count"] = _state_scalar_udf(
+        DDSketchPair.from_bytes, lambda sk: int(sk.count), LongType())
+    fns["dd_cdf"] = _state_arg_scalar_udf(
+        DDSketchPair.from_bytes, lambda sk, x: float(sk.cdf(float(x))),
+        DoubleType())
+
+    @F.pandas_udf(DoubleType())
+    def dd_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+        """Sketch-level Kolmogorov-Smirnov drift between two DD states —
+        dataset-diff / drift checks in one SQL call (the SQL twin of
+        ops/diff.py's signed KS)."""
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            out.append(float(DDSketchPair.from_bytes(bytes(ba)).ks_distance(
+                DDSketchPair.from_bytes(bytes(bb)))))
+        return pd.Series(out)
+
+    fns["dd_ks_distance"] = dd_ks_distance
+
+    fns["tdigest_sketch"] = _fill_udf(
+        lambda: TDigest(delta=tdigest_delta), numeric=True)
+    fns["tdigest_merge"] = _merge_udf(TDigest.from_bytes)
+    fns["tdigest_quantile"] = _state_arg_scalar_udf(
+        TDigest.from_bytes, lambda sk, q: float(sk.quantile(float(q))),
+        DoubleType())
+    fns["tdigest_cdf"] = _state_arg_scalar_udf(
+        TDigest.from_bytes, lambda sk, x: float(sk.cdf(float(x))),
+        DoubleType())
+
+    # ---- exact streaming moments (Pébay combine) -----------------------
+    fns["moments_sketch"] = _fill_udf(MomentsSketch, numeric=True)
+    fns["moments_merge"] = _merge_udf(MomentsSketch.from_bytes)
+    fns["moments_count"] = _state_scalar_udf(
+        MomentsSketch.from_bytes, lambda sk: int(sk.count), LongType())
+    fns["moments_mean"] = _state_scalar_udf(
+        MomentsSketch.from_bytes, lambda sk: float(sk.mean), DoubleType())
+    fns["moments_variance"] = _state_scalar_udf(
+        MomentsSketch.from_bytes, lambda sk: float(sk.variance()),
+        DoubleType())
+    fns["moments_skewness"] = _state_scalar_udf(
+        MomentsSketch.from_bytes, lambda sk: float(sk.skewness()),
+        DoubleType())
+    fns["moments_kurtosis"] = _state_scalar_udf(
+        MomentsSketch.from_bytes, lambda sk: float(sk.kurtosis()),
+        DoubleType())
+    fns["moments_min"] = _state_scalar_udf(
+        MomentsSketch.from_bytes, lambda sk: float(sk.vmin), DoubleType())
+    fns["moments_max"] = _state_scalar_udf(
+        MomentsSketch.from_bytes, lambda sk: float(sk.vmax), DoubleType())
+
+    # ---- distinct counting: HLL + theta (set algebra) ------------------
+    fns["hll_sketch"] = _fill_udf(lambda: HLLSketch(p=hll_p), numeric=False)
+    fns["hll_merge"] = _merge_udf(HLLSketch.from_bytes)
+    fns["hll_estimate"] = _state_scalar_udf(
+        HLLSketch.from_bytes, lambda sk: float(sk.estimate()), DoubleType())
+
+    fns["theta_sketch"] = _fill_udf(
+        lambda: ThetaSketch(k=theta_k), numeric=False)
+    fns["theta_merge"] = _merge_udf(ThetaSketch.from_bytes)
+    fns["theta_estimate"] = _state_scalar_udf(
+        ThetaSketch.from_bytes, lambda sk: float(sk.estimate()),
+        DoubleType())
+
+    @F.pandas_udf(DoubleType())
+    def theta_intersect_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            out.append(float(ThetaSketch.intersect(
+                ThetaSketch.from_bytes(bytes(ba)),
+                ThetaSketch.from_bytes(bytes(bb))).estimate()))
+        return pd.Series(out)
+
+    fns["theta_intersect_estimate"] = theta_intersect_estimate
+
+    names = []
+    for name, fn in fns.items():
+        full = f"{prefix}{name}"
+        spark.udf.register(full, fn)
+        names.append(full)
+    return names
