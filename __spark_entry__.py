@@ -771,6 +771,84 @@ def _sql_surface_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _rolling_quantile_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling sketch quantiles as a SQL WINDOW aggregate: the registered
+    ``udds_sketch`` UDAF fills per-frame (50-row frames per event_type,
+    ordered by ts) and ``udds_quantile`` extracts the rolling p50 — pure
+    SQL, no Python API. At m=0 every frame's estimate is bit-exact against
+    a per-window SQL bucket-walk oracle (the _udds_oracle derivation,
+    re-grouped per sampled frame), and within_bound re-checks the alpha
+    guarantee against the frame's true rank value (element_at over the
+    sorted frame — the kernel's floor(q*(n-1)) convention exactly).
+    Scale note: a window UDAF refills per frame (O(rows x frame) through
+    Arrow) — the right tool for moderate frames / SQL convenience; for
+    unbounded time-ordered rollups use streaming_sketch_windowed or
+    merge_grouped over bucketed state tables."""
+    from puddsketch_spark.spark.sqlfns import register_sql_functions
+
+    register_sql_functions(spark, alpha=_A, m=0)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("sqlwin_events")
+    return spark.sql(f"""
+        WITH w AS (
+          SELECT event_id, event_type, ts,
+                 udds_quantile(udds_sketch(value) OVER fr, 0.5D) AS est,
+                 count(value) OVER fr AS n,
+                 element_at(sort_array(collect_list(value) OVER fr),
+                            CAST(floor(0.5 * (count(value) OVER fr - 1))
+                                 AS INT) + 1) AS xr
+          FROM sqlwin_events
+          WINDOW fr AS (PARTITION BY event_type ORDER BY ts
+                        ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, ts, n, est,
+               (abs(est - xr) <= {_A} * xr) AS within_bound
+        FROM w WHERE event_id % 40 = 0
+    """)
+
+
+_ROLLING_WINDOW_SQL = f"""
+WITH ordered AS (
+  SELECT event_type, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events
+),
+sampled AS (SELECT * FROM ordered WHERE event_id % 40 = 0),
+pairs AS (
+  SELECT s.event_type, s.ts, o.value
+  FROM sampled s JOIN ordered o
+    ON o.event_type = s.event_type AND o.rn BETWEEN s.rn - 49 AND s.rn
+),
+keyed AS (
+  SELECT event_type, ts, value,
+         CAST(ceil(ln(value)/ln({_G_SQL})) AS BIGINT) AS k
+  FROM pairs WHERE value >= 2.2250738585072014e-308
+),
+b AS (SELECT event_type, ts, k, COUNT(*) AS c FROM keyed GROUP BY event_type, ts, k),
+cum AS (
+  SELECT event_type, ts, k,
+         SUM(c) OVER (PARTITION BY event_type, ts ORDER BY k) AS cumc
+  FROM b
+),
+nn AS (
+  SELECT event_type, ts, COUNT(*) AS n,
+         list_sort(list(value))[CAST(floor(0.5 * (COUNT(*) - 1)) AS BIGINT) + 1] AS xr
+  FROM keyed GROUP BY event_type, ts
+),
+kq AS (
+  SELECT nn.event_type, nn.ts, nn.n, nn.xr,
+         (SELECT MIN(k) FROM cum
+          WHERE cum.cumc > CAST(floor(0.5 * (nn.n - 1)) AS BIGINT)
+            AND cum.event_type = nn.event_type AND cum.ts = nn.ts) AS kq
+  FROM nn
+)
+SELECT event_type, ts, n,
+       power({_G_SQL}, kq.kq) * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) AS est,
+       (abs(power({_G_SQL}, kq.kq) * (1.0e0 - ({_G_SQL} - 1.0e0)/({_G_SQL} + 1.0e0)) - xr)
+        <= {_A} * xr) AS within_bound
+FROM kq
+"""
+
+
 # --------------------------------------------------------------------------
 # relational operators
 # --------------------------------------------------------------------------
@@ -3388,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
         "udds_grouping_sets": _udds_grouping_sets,
         "sql_surface_quantiles": _sql_surface_quantiles,
+        "rolling_quantile_window_sql": _rolling_quantile_window_sql,
         "source_quota_cap": _source_quota_cap,
         "tfidf_top_terms": _tfidf_top_terms,
         "range_join_value_bands": _range_join_value_bands,
@@ -3456,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "udds_rollup_daily": _UDDS_ROLLUP_SQL,
         "udds_grouping_sets": _UDDS_GS_SQL,
         "sql_surface_quantiles": _udds_oracle("l_returnflag"),
+        "rolling_quantile_window_sql": _ROLLING_WINDOW_SQL,
         "streaming_rollup_check": _STREAM_ROLLUP_SQL,
         "streaming_window_check": _STREAM_WIN_SQL,
         "q1_pricing_summary": _Q1_SQL,

@@ -243,6 +243,41 @@ def test_prefix_and_config_registration(spark, turns):
     assert abs(row.fine - exact_p50) <= abs(row.coarse - exact_p50)
 
 
+def test_udds_sketch_over_sql_window(spark, sqlfns, turns):
+    """Rolling sketch quantiles in pure SQL: the registered grouped-agg
+    UDAF works as a WINDOW aggregate — per row, udds_sketch fills over
+    the frame and udds_quantile extracts. Every frame's estimate equals
+    a driver-side kernel replay of exactly that frame (m=0), i.e. the
+    window surface is the kernel, not an approximation of it."""
+    rows = [(r, i, v) for i, (r, _, v) in enumerate(turns[:600])]
+    spark.createDataFrame(rows, "role string, seq long, text_len double"
+                          ).createOrReplaceTempView("win_turns")
+    got = spark.sql("""
+        SELECT role, seq,
+               udds_quantile(udds_sketch(text_len) OVER fr, 0.9D) AS est,
+               count(text_len) OVER fr AS n
+        FROM win_turns
+        WINDOW fr AS (PARTITION BY role ORDER BY seq
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """).collect()
+    by_role: dict[str, list[float]] = {}
+    for r, _, v in rows:
+        by_role.setdefault(r, []).append(v)
+    # replay: frames follow seq order within each role partition
+    seen: dict[str, list[float]] = {r: [] for r in by_role}
+    expected = {}
+    for r, seq, v in rows:
+        seen[r].append(v)
+        frame = seen[r][-20:]
+        sk = UDDSketch(initial_alpha=0.01, m=0).update(np.array(frame))
+        expected[(r, seq)] = (sk.quantile(0.9), len(frame))
+    assert len(got) == len(rows)
+    for row in got:
+        est, n = expected[(row.role, row.seq)]
+        assert row.n == n
+        assert row.est == est, (row.role, row.seq)
+
+
 def test_merge_null_only_group_raises(spark, sqlfns):
     spark.createDataFrame(
         [(1, None)], "k int, state binary").createOrReplaceTempView("null_states")
