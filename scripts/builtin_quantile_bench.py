@@ -1,0 +1,189 @@
+"""Head-to-head vs Spark's OWN approximate percentile: UDD sketch fill
+(the engine's flagship) against `percentile_approx` (Spark's built-in
+GK/QuantileSummaries aggregate) and exact `percentile`, same session,
+same generated transcript table, alternating A/B/C with median-of-N.
+
+    SPARK_GRAFT_PIN=1 python scripts/builtin_quantile_bench.py \
+        --turns 2000000 --cpus 8 --repeats 5
+
+Apples-to-apples notes (printed with the result):
+- Error CONTRACTS differ: UDD guarantees RELATIVE VALUE error <= alpha
+  (scale-free — right for long-tailed latencies/lengths);
+  percentile_approx guarantees RANK error <= n/accuracy (a p99.9 can be
+  off by a full tail bucket in value). Achieved value error vs exact is
+  measured per group x quantile below.
+- Capability differs: UDD states are USER-VISIBLE mergeable blobs
+  (persist / re-group / cross-run diff / streaming); percentile_approx
+  state lives only inside one aggregation — no save, no re-group, no
+  incremental update. The comparison is time-only where contracts
+  overlap: one-shot grouped quantiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QS = [0.5, 0.9, 0.99, 0.999]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--turns", type=int, default=2_000_000)
+    p.add_argument("--cpus", default="8")
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--accuracy", type=int, default=10_000,
+                   help="percentile_approx accuracy (default = Spark default)")
+    p.add_argument("--alpha", type=float, default=0.01)
+    p.add_argument("--dist", default="lognormal",
+                   choices=["uniform", "lognormal", "beta"])
+    args = p.parse_args(argv)
+
+    # pin (same protocol as bench.py) before the JVM exists
+    import bench as _b
+
+    _b._maybe_pin(args.cpus)
+
+    from pyspark.sql import functions as F
+
+    from puddsketch_spark.core import UDDSketch
+    from puddsketch_spark.datagen import transcripts
+    from puddsketch_spark.spark.agg import quantile_table, sketch_grouped_jvm
+    from puddsketch_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="builtin_quantile_bench",
+                      master=f"local[{args.cpus}]",
+                      shuffle_partitions=int(args.cpus))
+    t = transcripts(spark, n_conv=max(1, args.turns // 8), avg_turns=8,
+                    seed=42, length_dist=args.dist, with_text=False)
+    t = t.select("role", "tool", "text_len").persist()
+    n = t.count()
+
+    def udds():
+        merged = sketch_grouped_jvm(t, "text_len", ["role", "tool"],
+                                    args.alpha, 200)
+        return {(r.role, r.tool, r.q): r.est for r in quantile_table(
+            merged, ["role", "tool"], QS, UDDSketch.from_bytes).collect()}
+
+    def udds_realized_alpha() -> float:
+        # the bound the kernel actually promises after collapses (alpha'
+        # grows per collapse; m=200 bounds MEMORY, not the initial alpha).
+        # Untimed: diagnostic, not part of the query path.
+        merged = sketch_grouped_jvm(t, "text_len", ["role", "tool"],
+                                    args.alpha, 200)
+        return max(UDDSketch.from_bytes(bytes(r.state)).alpha
+                   for r in merged.collect())
+
+    def builtin():
+        rows = t.groupBy("role", "tool").agg(
+            F.percentile_approx("text_len", QS, args.accuracy).alias("v")
+        ).collect()
+        return {(r.role, r.tool, q): v
+                for r in rows for q, v in zip(QS, r.v)}
+
+    def exact():
+        rows = t.groupBy("role", "tool").agg(
+            F.percentile("text_len", F.array(*[F.lit(q) for q in QS])).alias("v")
+        ).collect()
+        return {(r.role, r.tool, q): v
+                for r in rows for q, v in zip(QS, r.v)}
+
+    def exact_disc():
+        # the discrete order statistic at floor(q*(n-1)) — the value both
+        # approximate kernels actually target (UDD: uddsketch.cpp:226-246
+        # rank convention; GK: nearest-rank). `percentile` interpolates
+        # BETWEEN order stats, which in a sparse lognormal tail differs
+        # from either target by ~the inter-order-stat gap — measuring
+        # against it would charge that convention gap to both kernels.
+        rows = (t.groupBy("role", "tool")
+                .agg(F.sort_array(F.collect_list("text_len")).alias("v"),
+                     F.count("text_len").alias("n"))
+                .select("role", "tool", "n", *[
+                    F.element_at(
+                        "v", (F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+                              ).cast("int")).alias(f"q{i}")
+                    for i, q in enumerate(QS)])
+                .collect())
+        return {(r.role, r.tool, q): r[f"q{i}"]
+                for r in rows for i, q in enumerate(QS)}
+
+    # regroup arms: coarsen (role, tool) -> (role). The sketch path merges
+    # the ALREADY-FILLED state table (8 KB-sized rows, n-independent); the
+    # builtin has no user-visible state, so regrouping means a second full
+    # scan + aggregation of the raw rows.
+    states = sketch_grouped_jvm(t, "text_len", ["role", "tool"],
+                                args.alpha, 200).persist()
+    states.count()
+
+    def udds_regroup():
+        from puddsketch_spark.spark.agg import merge_grouped
+
+        merged = merge_grouped(states, ["role"], UDDSketch.from_bytes)
+        return {(r.role, r.q): r.est for r in quantile_table(
+            merged, ["role"], QS, UDDSketch.from_bytes).collect()}
+
+    def builtin_regroup():
+        rows = t.groupBy("role").agg(
+            F.percentile_approx("text_len", QS, args.accuracy).alias("v")
+        ).collect()
+        return {(r.role, q): v for r in rows for q, v in zip(QS, r.v)}
+
+    arms = {"udds_jvm": udds, "percentile_approx": builtin,
+            "exact_percentile": exact, "udds_regroup": udds_regroup,
+            "percentile_approx_regroup": builtin_regroup}
+    times: dict[str, list[float]] = {k: [] for k in arms}
+    results: dict[str, dict] = {}
+    for fn in arms.values():  # warmup round (JIT, shuffle files, code cache)
+        fn()
+    for _ in range(args.repeats):
+        for name, fn in arms.items():  # alternate arms within each repeat
+            t0 = time.perf_counter()
+            results[name] = fn()
+            times[name].append(time.perf_counter() - t0)
+
+    ex = exact_disc()
+    realized_alpha = {"max": udds_realized_alpha()}
+    # regroup correctness: role-level sketch merge answers match a direct
+    # role-level fill bucket-for-bucket guarantees aside; here just check
+    # both regroup arms agree within the combined bounds
+    rg_s, rg_b = results["udds_regroup"], results["percentile_approx_regroup"]
+    assert all(abs(rg_s[k] - rg_b[k]) / max(abs(rg_b[k]), 1e-9) < 0.05
+               for k in rg_s), "regroup arms diverged beyond combined bounds"
+
+    errs = {}
+    for name in ("udds_jvm", "percentile_approx"):
+        rel = [abs(results[name][k] - ex[k]) / abs(ex[k])
+               for k in ex if ex[k]]
+        tail = [abs(results[name][k] - ex[k]) / abs(ex[k])
+                for k in ex if ex[k] and k[2] >= 0.99]
+        errs[name] = {"max_rel_err": round(max(rel), 5),
+                      "max_rel_err_p99plus": round(max(tail), 5)}
+
+    med = {k: round(statistics.median(v), 3) for k, v in times.items()}
+    out = {
+        "turns": n, "dist": args.dist, "cpus": args.cpus,
+        "repeats": args.repeats, "alpha": args.alpha,
+        "accuracy": args.accuracy,
+        "pinned": os.environ.get("_SG_PINNED") == "1",
+        "median_sec": med,
+        "spread_sec": {k: [round(min(v), 3), round(max(v), 3)]
+                       for k, v in times.items()},
+        "turns_per_sec": {k: round(n / m, 1) for k, m in med.items()},
+        "value_err_vs_exact": errs,
+        "udds_realized_alpha": round(realized_alpha["max"], 5),
+        "udds_within_bound": errs["udds_jvm"]["max_rel_err"]
+        <= realized_alpha["max"] + 1e-12,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
