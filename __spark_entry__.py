@@ -3429,14 +3429,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keep every entry's most recent driver-green CORRECTNESS row <= 1
     # round old (VERDICT r5 item 2). Round-6 order: first the 23 entries
     # whose latest gate row is r4 (rotated out of r5's positional prefix;
-    # all green in CORRECTNESS_r04 and the local all-73 parity suite),
+    # all green in CORRECTNESS_r04 and the local all-entries parity suite),
     # then the 3 queries whose code changed THIS round
     # (range_partition_balance gained the serde-restore check,
     # semantic_dedup_survivors rides the reworked exact engine,
     # bloom_join_lineitem_parts the 1.2x Bloom sizing headroom), then the
-    # query NEW this round (udds_grouping_sets), then r5-green entries;
-    # the entries that fall past the prefix are all r5-green and untouched
-    # this round.
+    # queries NEW this round (udds_grouping_sets, sql_surface_quantiles,
+    # rolling_quantile_window_sql), then r5-green entries; every entry
+    # past the prefix is r5-green and untouched this round.
     return {
         "udds_by_flag_status": _udds_by_flag_status,
         "dedup_exact_documents": _dedup_exact_documents,
