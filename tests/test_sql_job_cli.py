@@ -90,6 +90,47 @@ def test_sql_job_sql_file_and_prefix(tmp_path):
     assert _rows(r.stdout)[0]["n"] > 0
 
 
+def test_sql_job_reads_sketch_job_states(tmp_path):
+    """ONE state contract across surfaces: a state table written by
+    sketch_job --save-states (Python-API CLI) is consumed by sql_job's
+    udds_merge/udds_quantile (SQL CLI), and the regrouped global p50
+    matches sketch_job's own --from-states global rollup estimate."""
+    states = str(tmp_path / "states")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    r1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "sketch_job.py"),
+         "--generate", "200000", "--feature", "text_len",
+         "--group-by", "role", "--alpha", "0.01", "--max-buckets", "0",
+         "--quantiles", "0.5", "--save-states", states],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "sketch_job.py"),
+         "--from-states", states, "--feature", "text_len",
+         "--group-by", "--alpha", "0.01", "--max-buckets", "0",
+         "--quantiles", "0.5"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    ref = [json.loads(line) for line in r2.stdout.strip().splitlines()]
+    ref_p50 = next(x["est"] for x in ref if x["q"] == 0.5)
+    ref_n = next(x["n"] for x in ref if x["q"] == 0.5)
+
+    r3 = _run([
+        "--view", f"st={states}",
+        "--alpha", "0.01", "--max-buckets", "0",
+        "--sql",
+        "SELECT udds_quantile(udds_merge(state), 0.5D) AS p50, "
+        "udds_count(udds_merge(state)) AS n FROM st",
+    ])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    got = _rows(r3.stdout)[0]
+    assert got["p50"] == ref_p50
+    # ~200k: --generate N yields N//8 convs x 1..15 turns
+    assert got["n"] == ref_n > 150_000
+
+
 def test_sql_job_bad_view_spec():
     r = _run(["--view", "nopath", "--sql", "SELECT 1"])
     assert r.returncode != 0
