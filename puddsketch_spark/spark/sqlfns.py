@@ -34,6 +34,20 @@ the two-stage API (or a previous ``{name}_sketch`` at finer grain),
 save the state table, then do all SQL-side regrouping with
 ``{name}_merge`` + extractors — blobs only, never raw rows.
 
+Streaming note: the extractors work over STREAMED state tables
+(downstream of the sink, or on a state table a streaming job wrote),
+but not inside the streaming query itself directly above
+``applyInPandasWithState`` output — Spark's ArrowEvalPython cannot
+consume that exec's rows (GenericInternalRow vs UnsafeRow cast). Use
+``streaming_sketch``'s ``finalize`` for in-stream figures, and the SQL
+extractors for everything after the sink (pytest-pinned in
+tests/test_sqlfns.py::test_streaming_states_sql_extractor).
+
+Window note: the fills also work as SQL WINDOW aggregates
+(``udds_sketch(v) OVER (... ROWS BETWEEN 49 PRECEDING AND CURRENT
+ROW)``) — rolling sketch quantiles in pure SQL; the UDAF refills per
+frame, so cost is O(rows x frame).
+
 Kernel semantics are the library's own (core/): reference parity for
 UDD per /root/reference/psketches/uddsketch.cpp (fills here are
 bit-identical to sketch_grouped at m=0 — pytest-pinned), companions per

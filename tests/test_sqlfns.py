@@ -287,6 +287,77 @@ def test_merge_null_only_group_raises(spark, sqlfns):
         ).collect()
 
 
+def test_sql_fill_plan_single_exchange(spark, sqlfns, turns):
+    """Plan pin for the SQL fill: one hash Exchange on the group keys
+    feeding one ArrowAggregatePython (the UDAF fill) — the extractor is a
+    separate ArrowEvalPython over the aggregated (tiny) output, and the
+    raw scan is projected down to the grouping + value columns only."""
+    import contextlib
+    import io
+
+    df = spark.sql("""
+        SELECT role, udds_quantile(udds_sketch(text_len), 0.99e0) AS p99
+        FROM sql_turns GROUP BY role
+    """)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("ArrowAggregatePython") == 1  # the grouped-agg fill
+    assert tree.count("ArrowEvalPython") == 1       # the extractor, post-agg
+    # extractor sits ABOVE the aggregate (operates on group-count rows)
+    assert tree.index("ArrowEvalPython") < tree.index("ArrowAggregatePython")
+
+
+def test_streaming_states_sql_extractor(spark, sqlfns, tmp_path):
+    """SQL extractors over a STREAMED state table: streaming_sketch
+    finalize emits raw blobs to the sink; the registered
+    udds_quantile/udds_count then answer any quantile from the sink
+    table without touching raw data — estimates equal a batch kernel
+    replay. (Extractors go downstream of the sink, not inside the
+    streaming query: Spark's ArrowEvalPython cannot consume
+    applyInPandasWithState output directly — GenericInternalRow vs
+    UnsafeRow cast — which is also why finalize exists.)"""
+    from puddsketch_spark.streaming.sketch_stream import streaming_sketch
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    src = str(tmp_path / "sqlx_src")
+    ckpt = str(tmp_path / "sqlx_ckpt")
+    rng = np.random.default_rng(23)
+    vals = rng.uniform(1, 500, 4000)
+    rows = [("user" if i % 2 else "assistant", float(v))
+            for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, "role string, text_len double").coalesce(2)\
+        .write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("role string, text_len double").parquet(src)
+    out = streaming_sketch(
+        stream, "text_len", ["role"],
+        factory=lambda: UDDSketch(initial_alpha=0.01, m=0),
+        from_bytes=UDDSketch.from_bytes,
+        finalize=lambda sk: (sk.to_bytes(),),
+        finalize_schema=StructType([StructField("state", BinaryType(), False)]),
+    )
+    q = (out.writeStream.format("memory").queryName("sqlx_out")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        got = {r.role: r for r in spark.sql("""
+            SELECT role, udds_quantile(state, 0.5e0) AS p50,
+                   udds_count(state) AS n
+            FROM sqlx_out
+        """).orderBy(F.desc("n")).dropDuplicates(["role"]).collect()}
+    finally:
+        q.stop()
+    for role in ("user", "assistant"):
+        batch_vals = np.array([v for r, v in rows if r == role])
+        sk = UDDSketch(initial_alpha=0.01, m=0).update(batch_vals)
+        assert got[role].n == len(batch_vals)
+        assert got[role].p50 == sk.quantile(0.5)
+
+
 def test_extractor_null_state_passthrough(spark, sqlfns):
     df = spark.createDataFrame([(None,)], "state binary")
     df.createOrReplaceTempView("null_state_row")
