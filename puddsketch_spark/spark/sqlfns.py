@@ -7,7 +7,10 @@ After ``register_sql_functions(spark)``::
     SELECT role, udds_quantile(udds_sketch(text_len), 0.99) AS p99
     FROM transcripts GROUP BY role
 
-Three function shapes per kernel family:
+Every kernel family is covered: UDD / DD (signed) / t-digest (value
+quantiles), KLL / REQ (rank quantiles), moments (exact stats), HLL /
+theta (distinct + set algebra), count-min / Misra-Gries (frequency),
+Bloom (membership). Three function shapes per family:
 
 - ``{name}_sketch(value)``  — grouped-agg pandas UDAF: raw values of one
   group -> one serialized state blob (the registration-time
@@ -62,12 +65,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, DoubleType, LongType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+)
 
 from ..core import (
+    BloomFilter,
+    CountMinSketch,
     DDSketchPair,
     HLLSketch,
+    KLLSketch,
+    MisraGries,
     MomentsSketch,
+    REQSketch,
     TDigest,
     ThetaSketch,
     UDDSketch,
@@ -146,6 +160,14 @@ def register_sql_functions(
     hll_p: int = 14,
     theta_k: int = 4096,
     tdigest_delta: int = 200,
+    kll_k: int = 200,
+    req_k: int = 64,
+    req_hra: bool = True,
+    cms_depth: int = 5,
+    cms_width: int = 2048,
+    bloom_num_bits: int = 1 << 20,
+    bloom_num_hashes: int = 7,
+    mg_k: int = 64,
 ) -> list[str]:
     """Register every sketch SQL function on ``spark``; returns the
     registered names. Re-registration replaces (idempotent); use
@@ -223,6 +245,64 @@ def register_sql_functions(
         MomentsSketch.from_bytes, lambda sk: float(sk.vmin), DoubleType())
     fns["moments_max"] = _state_scalar_udf(
         MomentsSketch.from_bytes, lambda sk: float(sk.vmax), DoubleType())
+
+    # ---- rank-error quantiles: KLL (FOCS'16) + REQ (relative rank) -----
+    fns["kll_sketch"] = _fill_udf(lambda: KLLSketch(k=kll_k), numeric=True)
+    fns["kll_merge"] = _merge_udf(KLLSketch.from_bytes)
+    fns["kll_quantile"] = _state_arg_scalar_udf(
+        KLLSketch.from_bytes, lambda sk, q: float(sk.quantile(float(q))),
+        DoubleType())
+    fns["kll_rank"] = _state_arg_scalar_udf(
+        KLLSketch.from_bytes, lambda sk, x: float(sk.rank(float(x))),
+        DoubleType())
+
+    fns["req_sketch"] = _fill_udf(
+        lambda: REQSketch(k=req_k, hra=req_hra), numeric=True)
+    fns["req_merge"] = _merge_udf(REQSketch.from_bytes)
+    fns["req_quantile"] = _state_arg_scalar_udf(
+        REQSketch.from_bytes, lambda sk, q: float(sk.quantile(float(q))),
+        DoubleType())
+    fns["req_rank"] = _state_arg_scalar_udf(
+        REQSketch.from_bytes, lambda sk, x: float(sk.rank(float(x))),
+        DoubleType())
+
+    # ---- frequency: count-min (point estimates) + Misra-Gries top-k ----
+    fns["cms_sketch"] = _fill_udf(
+        lambda: CountMinSketch(depth=cms_depth, width=cms_width),
+        numeric=False)
+    fns["cms_merge"] = _merge_udf(CountMinSketch.from_bytes)
+    fns["cms_estimate"] = _state_arg_scalar_udf(
+        CountMinSketch.from_bytes,
+        lambda sk, key: int(sk.query(np.array([key]))[0]), LongType())
+
+    fns["mg_sketch"] = _fill_udf(lambda: MisraGries(k=mg_k), numeric=False)
+    fns["mg_merge"] = _merge_udf(MisraGries.from_bytes)
+    fns["mg_estimate_lo"] = _state_arg_scalar_udf(
+        MisraGries.from_bytes, lambda sk, key: int(sk.estimate(key)[0]),
+        LongType())
+    fns["mg_estimate_hi"] = _state_arg_scalar_udf(
+        MisraGries.from_bytes, lambda sk, key: int(sk.estimate(key)[1]),
+        LongType())
+
+    def _mg_json(sk, phi) -> str:
+        import json
+
+        hh = sk.heavy_hitters(float(phi))
+        # deterministic: count desc, then key string asc
+        items = sorted(hh.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return json.dumps([[str(k), int(c)] for k, c in items])
+
+    fns["mg_heavy_hitters_json"] = _state_arg_scalar_udf(
+        MisraGries.from_bytes, _mg_json, StringType())
+
+    # ---- membership: Bloom ---------------------------------------------
+    fns["bloom_sketch"] = _fill_udf(
+        lambda: BloomFilter(num_bits=bloom_num_bits,
+                            num_hashes=bloom_num_hashes), numeric=False)
+    fns["bloom_merge"] = _merge_udf(BloomFilter.from_bytes)
+    fns["bloom_contains"] = _state_arg_scalar_udf(
+        BloomFilter.from_bytes,
+        lambda sk, key: bool(sk.contains(np.array([key]))[0]), BooleanType())
 
     # ---- distinct counting: HLL + theta (set algebra) ------------------
     fns["hll_sketch"] = _fill_udf(lambda: HLLSketch(p=hll_p), numeric=False)

@@ -287,6 +287,68 @@ def test_merge_null_only_group_raises(spark, sqlfns):
         ).collect()
 
 
+def test_kll_req_sql(spark, sqlfns, turns):
+    """Rank-error families through SQL: rank extractors at the exact
+    median land within each sketch's published rank-error bound, and
+    merge-over-conv-states keeps the bound (compaction order differs, so
+    no bit-identity is claimed — the CONTRACT is rank error)."""
+    vals = np.sort(np.array([v for _, _, v in turns]))
+    true_median = vals[len(vals) // 2]
+    row = spark.sql(f"""
+        SELECT kll_rank(kll_sketch(text_len), {true_median!r}D) AS kr,
+               req_rank(req_sketch(text_len), {true_median!r}D) AS rr
+        FROM sql_turns
+    """).collect()[0]
+    kll_eps = 2.296 / 200**0.9723  # KLLSketch.rank_eps at k=200
+    assert abs(row.kr - 0.5) <= 3 * kll_eps
+    assert abs(row.rr - 0.5) <= 0.05
+    # merge-over-conv-states keeps the quantile near the true median
+    kq = spark.sql("""
+        SELECT kll_quantile(kll_merge(s), 0.5e0) AS kq FROM (
+          SELECT conv_id, kll_sketch(text_len) AS s
+          FROM sql_turns GROUP BY conv_id)
+    """).collect()[0].kq
+    assert abs(kq - true_median) / true_median <= 0.2
+
+
+def test_cms_bloom_mg_sql(spark, sqlfns, turns):
+    """Frequency + membership families through SQL. CMS and Bloom merges
+    are EXACT state algebra (table addition / bit OR), so merging
+    per-conv fills yields byte-identical states to the direct fill; CMS
+    point estimates bound the true count from above within eps*total;
+    Bloom has no false negatives (and at 10^6 bits / 37 keys, no false
+    positive on a fresh key); Misra-Gries at k=64 > #distinct is exact."""
+    true_c5 = sum(1 for _, c, _ in turns if c == "conv5")
+    n = len(turns)
+    row = spark.sql("""
+        SELECT cms_estimate(cms_sketch(conv_id), 'conv5') AS c5,
+               bloom_contains(bloom_sketch(conv_id), 'conv5') AS has5,
+               bloom_contains(bloom_sketch(conv_id), 'absent-key') AS has_absent,
+               mg_estimate_lo(mg_sketch(role), 'user') AS mg_lo,
+               mg_estimate_hi(mg_sketch(role), 'user') AS mg_hi,
+               mg_heavy_hitters_json(mg_sketch(role), 0.4e0) AS hh
+        FROM sql_turns
+    """).collect()[0]
+    assert true_c5 <= row.c5 <= true_c5 + int(np.e / 2048 * n) + 1
+    assert row.has5 is True and row.has_absent is False
+    true_user = sum(1 for r, _, _ in turns if r == "user")
+    assert row.mg_lo == row.mg_hi == true_user  # k=64 > 2 distinct: exact
+    import json as _json
+
+    hh = dict((k, c) for k, c in _json.loads(row.hh))
+    assert hh["user"] == true_user and set(hh) == {"user", "assistant"}
+
+    for fam, col in (("cms", "conv_id"), ("bloom", "conv_id")):
+        merged = spark.sql(f"""
+            SELECT {fam}_merge(s) AS s FROM (
+              SELECT conv_id, {fam}_sketch({col}) AS s
+              FROM sql_turns GROUP BY conv_id)
+        """).collect()[0].s
+        direct = spark.sql(
+            f"SELECT {fam}_sketch({col}) AS s FROM sql_turns").collect()[0].s
+        assert bytes(merged) == bytes(direct), fam
+
+
 def test_sql_fill_plan_single_exchange(spark, sqlfns, turns):
     """Plan pin for the SQL fill: one hash Exchange on the group keys
     feeding one ArrowAggregatePython (the UDAF fill) — the extractor is a
