@@ -1281,21 +1281,29 @@ def _theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B = all customers — so intersection, A\B (=0) and B\A are all exercised
     orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 350000)
     cust = _t(spark, sf_dir, "customer")
-    ops = theta_set_ops(orders, "o_custkey", cust, "c_custkey", k=4096)
-
-    # one job for all three exact counts: full outer join of the distinct
-    # key sets, then conditional counts
-    da = orders.select(F.col("o_custkey").alias("ka")).distinct()
-    db = cust.select(F.col("c_custkey").alias("kb")).distinct()
-    r = (
-        da.join(db, da.ka == db.kb, "full_outer")
-        .agg(
-            F.count("ka").alias("ea"),
-            F.count("kb").alias("eb"),
-            F.count(F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), 1)).alias("ei"),
+    # distinct key sets feed BOTH the theta fill and the exact full-outer
+    # join, so compute them once (KMV keeps the k smallest DISTINCT hashes —
+    # filling from pre-distinct keys is state-identical to filling from the
+    # raw columns). The persist lives only inside this function: both
+    # consumers materialize before the unpersist below.
+    da = orders.select(F.col("o_custkey").alias("ka")).distinct().persist()
+    db = cust.select(F.col("c_custkey").alias("kb")).distinct().persist()
+    try:
+        ops = theta_set_ops(da, "ka", db, "kb", k=4096)
+        # one job for all three exact counts: full outer join of the
+        # distinct key sets, then conditional counts
+        r = (
+            da.join(db, da.ka == db.kb, "full_outer")
+            .agg(
+                F.count("ka").alias("ea"),
+                F.count("kb").alias("eb"),
+                F.count(F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), 1)).alias("ei"),
+            )
+            .first()
         )
-        .first()
-    )
+    finally:
+        da.unpersist()
+        db.unpersist()
     ea, eb, einter = r.ea, r.eb, r.ei
     exact = {
         "a": ea,
@@ -1636,14 +1644,18 @@ def _heavy_hitters_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 64
     orders = _t(spark, sf_dir, "orders")
-    sk = sketch_global(orders, "o_custkey", lambda: MisraGries(k=k),
-                       MisraGries.from_bytes)
-    retained = {int(key): int(c) for key, c in sk.counters.items()}
-    # ONE exact per-key aggregation serves every check below (the bracket
-    # verify, the n anchor, and the superset threshold each used to rescan
-    # and reshuffle orders separately); the persisted table is one row per
-    # distinct customer — tiny relative to orders
+    # ONE Tungsten aggregation feeds EVERYTHING: the exact per-key counts
+    # (bracket verify, n anchor, superset threshold) AND, new this round,
+    # the MG fill itself via the weighted-update path — the sketch sees
+    # |distinct customers| (key, count) rows instead of every order row,
+    # and the orders table is scanned exactly once (guide §2.3 "aggregate
+    # before you shuffle"). Weighted MG is bound-preserving (merge-order
+    # changes which sub-threshold keys survive, but every reported fact is
+    # order-invariant, exactly as before).
     counts = orders.groupBy("o_custkey").count().persist()
+    sk = sketch_global(counts, "o_custkey", lambda: MisraGries(k=k),
+                       MisraGries.from_bytes, weight_col="count")
+    retained = {int(key): int(c) for key, c in sk.counters.items()}
     # SUM over zero rows is NULL — an empty orders table must report n=0,
     # not crash the gate row
     n = int(counts.agg(F.sum("count")).first()[0] or 0)
@@ -1704,6 +1716,11 @@ def _range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = 16
     events = _t(spark, sf_dir, "events")
+    # NOT repartitioned: measured r7, a round-robin repartition of 1M rows
+    # costs ~1.5s (local sort + row serialization) — more than the 32-way
+    # parallelism saves on this numeric fill. Row shuffles only pay for
+    # themselves when the per-row downstream work is heavy (string/gram
+    # queries); see OPTIMIZATION_r07.md.
     # two independent fills total: s1 (bounds b1, also audited by
     # bucket_balance, which reuses them instead of refilling) and b2 on a
     # different physical layout; the restore path pays NO fill — bounds come
@@ -2318,7 +2335,9 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window; DuckDB replays the identical closed form."""
     from puddsketch_spark.ops.text import top_terms_tfidf
 
-    d = _t(spark, sf_dir, "documents")
+    # single-split scan: spread the tokenize+explode across cores (§2.5)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     out = top_terms_tfidf(d, k=3)
     return out.select(
         "doc_id", "rnk", "term", "tf", "df", F.round("weight", 6).alias("weight")
@@ -2387,17 +2406,26 @@ def _moments_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted TRUE on both sides (floats themselves would hash-flap at the
     last ulp across engines — the 4-decimal mean is the only raw float
     crossing the compare)."""
-    from pyspark.sql import Window
-
     from puddsketch_spark.spark.sketches import moments_stats
 
     li = _t(spark, sf_dir, "lineitem")
-    mom = moments_stats(li, "l_extendedprice", ["l_returnflag"])
+    # jvm engine: Tungsten per-(group, partition) stable central moments,
+    # Pébay-merged by the kernel — no row crosses the Python boundary
+    # (guide §4.1 "prefer built-ins"); ~1e-13 agreement with the arrow fill
+    mom = moments_stats(li, "l_extendedprice", ["l_returnflag"], engine="jvm")
 
-    mean_w = Window.partitionBy("l_returnflag")
-    centered = li.select(
+    # two-pass exact arm. Pass 1: per-flag means via a Tungsten aggregation
+    # (3 tiny rows); pass 2: broadcast the means back and accumulate the
+    # centered power sums with map-side partial aggregation. The previous
+    # Window.partitionBy formulation shuffled EVERY lineitem row into 3
+    # partitions (one per flag) and sorted them there — the definitional
+    # skew anti-pattern (guide §2.5) and the whole query's cost.
+    means = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("_mu")
+    )
+    centered = li.join(F.broadcast(means), "l_returnflag").select(
         "l_returnflag",
-        (F.col("l_extendedprice") - F.avg("l_extendedprice").over(mean_w)).alias("c"),
+        (F.col("l_extendedprice") - F.col("_mu")).alias("c"),
     )
     exact = centered.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("xn"),
@@ -2448,17 +2476,25 @@ def _boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puddsketch_spark.ops.boilerplate import dedup_lines
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    relined = d.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 6).cast("int")),
-                lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
-            ),
-            "\n",
-        ).alias("text"),
+    # 1) spread the single-split scan before the CPU-heavy re-lining;
+    # 2) tokenize into a projected column so the line transform references
+    #    the token array instead of re-splitting text per line;
+    # 3) keep the LINE ARRAY (dedup_lines accepts it — no join+re-split
+    #    round trip) and localCheckpoint it so the df-count pass and the
+    #    probe pass share ONE tokenize/re-line evaluation. localCheckpoint,
+    #    not persist: it is scoped to this lineage, so repeated invocations
+    #    recompute from parquet instead of hitting a plan-keyed cache.
+    toks_df = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.split("text", " ").alias("_toks")
     )
+    t = F.col("_toks")
+    relined = toks_df.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(t) - 1) / 6).cast("int")),
+            lambda i: F.array_join(F.slice(t, i * 6 + 1, 6), " "),
+        ).alias("text"),
+    ).localCheckpoint(eager=False)
     out = dedup_lines(relined, max_doc_count=2, method="broadcast")
     return out.where(F.col("n_removed") > 0).select(
         "doc_id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
@@ -2577,8 +2613,11 @@ def _decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puddsketch_spark.ops.decontam import flag_contaminated
 
     d = _t(spark, sf_dir, "documents")
-    bench = d.where(F.col("doc_id") % 10 == 0)
-    docs = d.where(F.col("doc_id") % 10 != 0)
+    # single-file tables scan as one split; the gram explode is the CPU cost,
+    # so spread it across the cores before tokenizing (guide §2.5 input skew)
+    par = spark.sparkContext.defaultParallelism
+    bench = d.where(F.col("doc_id") % 10 == 0).repartition(par)
+    docs = d.where(F.col("doc_id") % 10 != 0).repartition(par)
     flagged = flag_contaminated(docs, bench, n=4, method="join")
     return flagged.where("contaminated").select("doc_id", "n_hit_grams")
 
@@ -3308,7 +3347,9 @@ def _pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed)."""
     from puddsketch_spark.ops.redact import pii_stats, redact_pii
 
-    aug = _pii_aug(_t(spark, sf_dir, "documents"))
+    # single-split scan: the regex passes are the cost — parallelize (§2.5)
+    aug = _pii_aug(_t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism))
     stats = pii_stats(aug, "t")
     red = redact_pii(aug, "t", out="clean")
     totals = red.agg(
@@ -3382,7 +3423,7 @@ def _incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest verify of candidates only, broadcast anti join back: the new
     batch never shuffles and the counts are EXACT (no false drops/keeps),
     which is what the oracle checks."""
-    from puddsketch_spark.ops.dedup import dedup_against_corpus
+    from puddsketch_spark.ops.dedup import dedup_against_corpus, release_cached
 
     doc = _t(spark, sf_dir, "documents")
     dups = doc.where(F.col("doc_id") % 5 == 0).select(
@@ -3399,6 +3440,7 @@ def _incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_novel"),
         F.sum("doc_id").alias("sum_novel_ids"),
     ).first()
+    release_cached(surv)  # drop the corpus-digest cache built by the op
     return spark.createDataFrame(
         [(n_new, int(agg.n_novel), n_new - int(agg.n_novel),
           int(agg.sum_novel_ids))],

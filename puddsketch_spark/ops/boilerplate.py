@@ -31,7 +31,13 @@ __all__ = ["line_doc_freq", "dedup_lines"]
 _HOT_BROADCAST_CAP = 5_000_000  # 40 MB of int64 hashes; beyond this, join
 
 
-def _lines_col(text_col: str, delim: str):
+def _lines_col(df: DataFrame, text_col: str, delim: str):
+    """Line-array column: ``text_col`` may be the document string (split on
+    ``delim``) or an already-materialized array<string> of lines — callers
+    that re-line documents upstream pass the array straight through instead
+    of paying an array_join + re-split round trip per pass."""
+    if dict(df.dtypes)[text_col].startswith("array"):
+        return F.col(text_col)
     return F.split(F.col(text_col), delim)
 
 
@@ -43,7 +49,7 @@ def line_doc_freq(
     side."""
     lines = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(_lines_col(text_col, delim))).alias("line"),
+        F.explode(F.array_distinct(_lines_col(df, text_col, delim))).alias("line"),
     )
     return (
         lines.select(id_col, F.xxhash64("line").alias("line_hash"))
@@ -110,7 +116,7 @@ def dedup_lines(
                         }
                     )
 
-            arr = _lines_col(text_col, delim)
+            arr = _lines_col(df, text_col, delim)
             prepared = df.select(
                 F.col(id_col),
                 arr.alias("lines"),
@@ -121,7 +127,7 @@ def dedup_lines(
     # join path: positions keep order through the rebuild
     exploded = df.select(
         F.col(id_col),
-        F.posexplode(_lines_col(text_col, delim)).alias("pos", "line"),
+        F.posexplode(_lines_col(df, text_col, delim)).alias("pos", "line"),
     ).withColumn("line_hash", F.xxhash64("line"))
     kept = exploded.join(F.broadcast(hot), "line_hash", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
@@ -135,7 +141,7 @@ def dedup_lines(
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = df.select(
-        F.col(id_col), F.size(_lines_col(text_col, delim)).alias("n_total")
+        F.col(id_col), F.size(_lines_col(df, text_col, delim)).alias("n_total")
     )
     return (
         totals.join(rebuilt, id_col, "left")

@@ -34,11 +34,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["word_ngrams", "benchmark_grams", "flag_contaminated"]
 
 
-def word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
-    """Catalyst expression: array of space-joined word ``n``-grams of
-    ``text_col`` (per-doc distinct by default); empty array when the doc has
-    fewer than ``n`` tokens. Stays inside whole-stage codegen — no UDF."""
-    toks = F.split(F.col(text_col), " ")
+def _token_ngrams(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Gram expression over an already-materialized token-array COLUMN.
+
+    Callers must project ``split(text)`` into a real column first: inlining
+    the split means the expression tree re-tokenizes the document inside
+    the per-gram lambda (no cross-expression CSE through ``transform``), an
+    O(len^2) blowup that dominated the decontamination scan."""
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -49,12 +51,26 @@ def word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
+def word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
+    """Catalyst expression: array of space-joined word ``n``-grams of
+    ``text_col`` (per-doc distinct by default); empty array when the doc has
+    fewer than ``n`` tokens. Stays inside whole-stage codegen — no UDF.
+
+    Prefer projecting ``F.split(text_col, " ")`` to a column and calling
+    ``_token_ngrams`` on it (as ``flag_contaminated`` does): this inline
+    form re-evaluates the split per gram inside the transform lambda."""
+    return _token_ngrams(F.split(F.col(text_col), " "), n, distinct)
+
+
 def benchmark_grams(
     bench: DataFrame, n: int = 8, text_col: str = "text"
 ) -> DataFrame:
     """Corpus-distinct word n-grams of the benchmark set: DataFrame[gram]."""
+    toked = bench.select(F.split(F.col(text_col), " ").alias("_toks"))
     return (
-        bench.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
+        toked.select(
+            F.explode(_token_ngrams(F.col("_toks"), n)).alias("gram")
+        ).distinct()
     )
 
 
@@ -89,8 +105,11 @@ def flag_contaminated(
     # the benchmark gram universe feeds up to three consumers (count, Bloom
     # fill, exact-verify join) — persist so the explode+distinct runs once
     bgrams = benchmark_grams(bench, n=n, text_col=bench_text_col).persist()
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    doc_toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    doc_grams = doc_toks.select(
+        F.col(id_col), F.explode(_token_ngrams(F.col("_toks"), n)).alias("gram")
     )
 
     if method == "bloom":
@@ -132,8 +151,8 @@ def flag_contaminated(
                 per_doc[nonempty] = np.add.reduceat(hits, starts[nonempty])
                 yield pd.DataFrame({id_col: pdf[id_col], "n_bloom_hits": per_doc})
 
-        with_grams = docs.select(
-            F.col(id_col), word_ngrams(text_col, n).alias("grams")
+        with_grams = doc_toks.select(
+            F.col(id_col), _token_ngrams(F.col("_toks"), n).alias("grams")
         )
         candidates = (
             with_grams.mapInPandas(probe, schema=out_schema)

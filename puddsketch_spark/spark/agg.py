@@ -479,6 +479,7 @@ def sketch_global(
     from_bytes: Callable[[bytes], object] | None = None,
     depth: int = 2,
     pre_aggregate: bool = False,
+    weight_col: str | None = None,
 ):
     """Global sketch via two-level treeReduce over serialized partials.
 
@@ -488,12 +489,20 @@ def sketch_global(
     Returns the merged kernel object (driver-side, like rank 0).
     ``pre_aggregate``: see sketch_grouped — Tungsten distinct-count first,
     weighted kernel fill after; for duplicate-heavy value columns.
+    ``weight_col``: fill from an ALREADY-aggregated (value, weight) table —
+    the caller pays the Tungsten count once and can reuse it for other
+    work, instead of pre_aggregate computing a private copy.
     """
     fb = from_bytes or _default_from_bytes(factory)
+    if pre_aggregate and weight_col is not None:
+        raise ValueError("pass pre_aggregate or weight_col, not both")
     if pre_aggregate:
         counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_w"))
         partials = partial_sketches(counts, value_col, (), factory,
                                     weight_col="_w")
+    elif weight_col is not None:
+        partials = partial_sketches(df, value_col, (), factory,
+                                    weight_col=weight_col)
     else:
         partials = partial_sketches(df, value_col, (), factory)
     # persist: isEmpty (take(1)) would otherwise run the full sketch build

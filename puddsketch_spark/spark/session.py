@@ -54,6 +54,16 @@ def get_spark(
         # of 3 alternating A/B pairs, pinned 8 cores)
         .config("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # Scan split sizing is layout-dependent, so it is parameterised
+        # (guide §6.1). The local default (16m) matches the benchmark
+        # fixtures: single parquet files with ~20 MB row groups, where the
+        # stock 128m packs a whole 130 MB table into 1-2 splits and
+        # serializes every downstream map stage on a 32-core machine. On a
+        # production cluster reading TB-scale tables of 128 MB+ row groups,
+        # set SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g instead: there the
+        # bottleneck is per-task overhead, not split granularity (§2.2).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

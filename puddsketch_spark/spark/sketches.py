@@ -10,6 +10,7 @@ quantile-threshold filtering and the quantile-rank transform.)
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Sequence
 
 import pandas as pd
@@ -279,12 +280,25 @@ def with_quantile_rank(
 
 # ---------------------------------------------------------------- Moments
 def moments_stats(
-    df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = (),
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact one-pass distribution-shape statistics per group:
     DataFrame[group..., n, mean, variance, stddev, skewness, kurtosis,
     vmin, vmax] via the mergeable MomentsSketch (Pébay pairwise combine).
-    Global (no groups) returns a single-row DataFrame."""
+    Global (no groups) returns a single-row DataFrame.
+
+    ``engine="arrow"``: the generic kernel fill (mapInArrow partials, keyed
+    merge) — rows cross into Python once.
+    ``engine="jvm"``: same split as the UDD flagship's Tungsten path — the
+    per-(group, input-partition) chunk moments come from Spark's builtin
+    stable central-moment aggregates (whole-stage codegen, map-side partial
+    agg; NO row ever crosses into Python), the chunk states are inverted to
+    (n, mean, M2, M3, M4) and merged by the kernel's own Pébay combine.
+    Merge-order float agreement with the arrow engine is the usual ~1e-12
+    relative, same as any re-partitioning of the fill (module docstring of
+    core.moments). NaN rows are dropped up front, mirroring the kernel's
+    _drop_nan."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     from ..core.moments import MomentsSketch
@@ -306,6 +320,49 @@ def moments_stats(
         StructField("vmin", DoubleType(), True),
         StructField("vmax", DoubleType(), True),
     ]
+    if engine not in ("arrow", "jvm"):
+        raise ValueError("engine must be 'arrow' or 'jvm'")
+    if engine == "jvm":
+        v = F.col(value_col).cast("double")
+        chunked = (
+            df.where(v.isNotNull() & ~F.isnan(v))
+            .groupBy(*group_cols, F.spark_partition_id().alias("_pid"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.avg(v).alias("_mean"),
+                F.var_pop(v).alias("_varp"),
+                F.skewness(v).alias("_skew"),
+                F.kurtosis(v).alias("_kurt"),
+                F.min(v).alias("_min"),
+                F.max(v).alias("_max"),
+            )
+            .collect()
+        )
+        merged: dict[tuple, MomentsSketch] = {}
+        # deterministic merge order: by partition id within each group
+        for r in sorted(chunked, key=lambda r: (r["_pid"],)):
+            n = float(r["_n"])
+            m2 = 0.0 if r["_varp"] is None else float(r["_varp"]) * n
+            # invert Spark's population skew/kurt back to central sums;
+            # both are NaN/NULL for constant chunks (m2 == 0) -> sums are 0
+            sk_ = r["_skew"]
+            ku_ = r["_kurt"]
+            m3 = (
+                0.0 if m2 == 0.0 or sk_ is None or math.isnan(sk_)
+                else float(sk_) * m2 ** 1.5 / math.sqrt(n)
+            )
+            m4 = (
+                0.0 if m2 == 0.0 or ku_ is None or math.isnan(ku_)
+                else (float(ku_) + 3.0) * m2 * m2 / n
+            )
+            key = tuple(r[g] for g in group_cols)
+            sk = merged.setdefault(key, MomentsSketch())
+            sk._combine(n, float(r["_mean"]), m2, m3, m4,
+                        float(r["_min"]), float(r["_max"]))
+        group_fields = [f for f in df.schema.fields if f.name in group_cols]
+        schema = StructType(group_fields + stat_fields)
+        rows = [key + rows_of(sk) for key, sk in merged.items()]
+        return df.sparkSession.createDataFrame(rows, schema)
     if not group_cols:
         sk = sketch_global(df, value_col, MomentsSketch, MomentsSketch.from_bytes)
         return df.sparkSession.createDataFrame([rows_of(sk)], StructType(stat_fields))
