@@ -272,9 +272,12 @@ def semantic_dedup(
     if engine == "exact":
         # limit(max_exact+1) bounds what can EVER reach the driver — the
         # size guard must fire before the collect absorbs the table, not
-        # after (a bare collect-then-count would OOM the driver first)
-        rows = df.select(id_col, vec_col).limit(max_exact + 1).collect()
-        n = len(rows)
+        # after (a bare collect-then-count would OOM the driver first).
+        # toPandas, not collect: the Arrow path moves the vector column as
+        # columnar batches instead of py4j-pickled rows (guide §6, "Arrow
+        # for driver transfers") — same rows, same float values.
+        snap = df.select(id_col, vec_col).limit(max_exact + 1).toPandas()
+        n = len(snap)
         if n > max_exact:
             raise ValueError(
                 f"semantic_dedup(engine='exact') exceeds max_exact="
@@ -282,8 +285,9 @@ def semantic_dedup(
             )
         if n == 0:
             return df
-        ids = np.asarray([r[0] for r in rows])  # any orderable id dtype
-        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        ids = snap[id_col].to_numpy()  # any orderable id dtype
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in snap[vec_col].to_numpy()])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 to everything
         matn = mat / norms

@@ -260,6 +260,13 @@ def top_terms_tfidf(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).where(F.length("term") > 0)
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds TWO consumers — the document-frequency aggregation (the
+    # broadcast build side) and the weighted join probe — and each would
+    # otherwise re-run the tokenize+explode+aggregate lineage (r7 measured:
+    # the tf pass alone is half this operator's cost). localCheckpoint
+    # materializes it once, scoped to this lineage (no plan-keyed cache, so
+    # repeated invocations still recompute from source).
+    tf = tf.localCheckpoint(eager=False)
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
