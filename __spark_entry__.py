@@ -1281,29 +1281,29 @@ def _theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B = all customers — so intersection, A\B (=0) and B\A are all exercised
     orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 350000)
     cust = _t(spark, sf_dir, "customer")
-    # distinct key sets feed BOTH the theta fill and the exact full-outer
-    # join, so compute them once (KMV keeps the k smallest DISTINCT hashes —
-    # filling from pre-distinct keys is state-identical to filling from the
-    # raw columns). The persist lives only inside this function: both
-    # consumers materialize before the unpersist below.
-    da = orders.select(F.col("o_custkey").alias("ka")).distinct().persist()
-    db = cust.select(F.col("c_custkey").alias("kb")).distinct().persist()
-    try:
-        ops = theta_set_ops(da, "ka", db, "kb", k=4096)
-        # one job for all three exact counts: full outer join of the
-        # distinct key sets, then conditional counts
-        r = (
-            da.join(db, da.ka == db.kb, "full_outer")
-            .agg(
-                F.count("ka").alias("ea"),
-                F.count("kb").alias("eb"),
-                F.count(F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), 1)).alias("ei"),
-            )
-            .first()
+    # The fill reads the RAW columns (KMV dedups internally — state is
+    # identical to filling from pre-distinct keys) and the exact-verify arm
+    # computes its own distincts. An r7 alternating A/B killed the
+    # "persist the distinct key sets and share them" variant: 1.07 s vs
+    # 0.83 s median at sf0.1 — the cache materialization plus the extra
+    # pass over it cost more than the saved orders re-scan, and at scale
+    # the raw-column fill is the right operator anyway (one scan, zero
+    # row shuffle; the distinct shuffles exist only for the exact gate arm).
+    ops = theta_set_ops(orders, "o_custkey", cust, "c_custkey", k=4096)
+
+    # one job for all three exact counts: full outer join of the distinct
+    # key sets, then conditional counts
+    da = orders.select(F.col("o_custkey").alias("ka")).distinct()
+    db = cust.select(F.col("c_custkey").alias("kb")).distinct()
+    r = (
+        da.join(db, da.ka == db.kb, "full_outer")
+        .agg(
+            F.count("ka").alias("ea"),
+            F.count("kb").alias("eb"),
+            F.count(F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), 1)).alias("ei"),
         )
-    finally:
-        da.unpersist()
-        db.unpersist()
+        .first()
+    )
     ea, eb, einter = r.ea, r.eb, r.ei
     exact = {
         "a": ea,
@@ -1656,23 +1656,28 @@ def _heavy_hitters_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = sketch_global(counts, "o_custkey", lambda: MisraGries(k=k),
                        MisraGries.from_bytes, weight_col="count")
     retained = {int(key): int(c) for key, c in sk.counters.items()}
-    # SUM over zero rows is NULL — an empty orders table must report n=0,
-    # not crash the gate row
-    n = int(counts.agg(F.sum("count")).first()[0] or 0)
-    # exact counts for the retained keys only (a 64-key isin filter — the
-    # verification stays distributed, nothing unbounded reaches the driver)
-    exact = {
-        r[0]: r[1]
-        for r in counts.where(F.col("o_custkey").isin(list(retained))).collect()
-    }
+    # n = MG's own total inserted weight == SUM(count) == COUNT(*) of
+    # orders (o_custkey is non-null; MG never decrements total) — the
+    # separate SUM job the gate used to run re-derived a number the fill
+    # already carries (r7: one distributed job removed, value identical,
+    # pinned by tests/test_heavyhitters.py::test_weighted_total_is_n)
+    n = int(sk.total)
+    # ONE bounded collect serves BOTH verify arms: retained keys (<= 64)
+    # for the bracket check plus every key above the n/(k+1) guarantee
+    # threshold (<= k such keys by definition) for the superset check —
+    # previously two separate jobs over the cached counts
+    rkeys = list(retained)
+    audit = counts.where(
+        F.col("o_custkey").isin(rkeys) | (F.col("count") > F.lit(n / (k + 1)))
+    ).collect()
+    exact = {r[0]: r[1] for r in audit if r[0] in retained}
     bracket_ok = all(
         retained[key] <= exact.get(key, 0) <= retained[key] + sk.err
         for key in retained
     )
     # every key above the n/(k+1) guarantee threshold must be retained
-    missed = (
-        counts.where(F.col("count") > F.lit(n / (k + 1)))
-        .where(~F.col("o_custkey").isin(list(retained))).count()
+    missed = sum(
+        1 for r in audit if r[1] > n / (k + 1) and r[0] not in retained
     )
     counts.unpersist()
     return spark.createDataFrame(

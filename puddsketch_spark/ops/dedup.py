@@ -287,7 +287,8 @@ def _attach_cached(df: DataFrame, cached) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
 
@@ -304,18 +305,22 @@ def lsh_candidate_pairs(
 
     id_type = sigs.schema[id_col].dataType
     # zero-shingle docs carry NULL signatures and cannot be near-dups.
-    # persist BEFORE first() so the probe populates the cache that the
-    # banding and both signature re-joins reuse (recomputing the shingling
-    # three times would dominate the job).
+    # persist: the banding and both signature re-joins share the cache
+    # (recomputing the shingling three times would dominate the job).
     sigs = sigs.where(F.col("sig").isNotNull()).persist()
-    first = sigs.select("sig").first()
-    if first is None:
-        sigs.unpersist()
-        return sigs.sparkSession.createDataFrame(
-            [],
-            _ST([_SF("a", id_type), _SF("b", id_type), _SF("est_jaccard", _D())]),
-        )
-    num_perm = len(first[0])
+    if num_perm is None:
+        # signature width unknown: probe one row (pays one partition of
+        # the shingle stage). Callers that know num_perm (e.g.
+        # minhash_dedup_pairs) pass it and skip this job entirely — r7,
+        # guide §1.2 "don't compute things you throw away".
+        first = sigs.select("sig").first()
+        if first is None:
+            sigs.unpersist()
+            return sigs.sparkSession.createDataFrame(
+                [],
+                _ST([_SF("a", id_type), _SF("b", id_type), _SF("est_jaccard", _D())]),
+            )
+        num_perm = len(first[0])
     rows = num_perm // bands
     banded = sigs.select(
         F.col(id_col),
@@ -365,7 +370,7 @@ def minhash_dedup_pairs(
     Call release_cached(result) after materializing to drop the signature
     cache."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_perm=num_perm)
     return _attach_cached(
         pairs.where(F.col("est_jaccard") >= threshold),
         getattr(pairs, "_puddsketch_cached", ()),

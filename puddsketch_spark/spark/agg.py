@@ -289,6 +289,30 @@ def merge_grouped(
     return partials.groupBy(*group_cols).applyInPandas(merge_fn, schema=schema)
 
 
+def _tree_merge_bytes(blobs, fb, depth: int):
+    """treeAggregate with a None sentinel: ONE job, same pairwise merge
+    tree as RDD.treeReduce (which PySpark implements as exactly this
+    aggregate over (isZero, value) pairs — so results stay bit-identical
+    for order-sensitive kernels like KLL). Replaces the old
+    persist + isEmpty + treeReduce + unpersist dance, which cost one extra
+    job (the isEmpty take(1)) and a cache round-trip per global fill —
+    measured r7: that overhead was a fixed ~0.15-0.3 s tax on every one of
+    the nine headline queries that end in a global fill (guide §1.2: remove
+    passes before tuning anything else). Returns the merged blob, or None
+    when ``blobs`` is empty."""
+    def seq(acc, b):
+        return b if acc is None else fb(acc).merge(fb(b)).to_bytes()
+
+    def comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return fb(a).merge(fb(b)).to_bytes()
+
+    return blobs.treeAggregate(None, seq, comb, depth=depth)
+
+
 def rollup_states(
     states: DataFrame,
     group_cols: Sequence[str],
@@ -312,17 +336,11 @@ def rollup_states(
     group_cols = list(group_cols)
     if group_cols:
         return merge_grouped(states, group_cols, from_bytes)
-    blobs = states.select("state").rdd.map(lambda r: bytes(r[0])).persist()
-    try:
-        if blobs.isEmpty():
-            raise ValueError("rollup_states: empty state table")
-
-        def merge_bytes(a: bytes, b: bytes) -> bytes:
-            return from_bytes(a).merge(from_bytes(b)).to_bytes()
-
-        return from_bytes(blobs.treeReduce(merge_bytes, depth=depth))
-    finally:
-        blobs.unpersist()
+    blobs = states.select("state").rdd.map(lambda r: bytes(r[0]))
+    out = _tree_merge_bytes(blobs, from_bytes, depth)
+    if out is None:
+        raise ValueError("rollup_states: empty state table")
+    return from_bytes(out)
 
 
 def rollup_grouping_sets(
@@ -505,18 +523,9 @@ def sketch_global(
                                     weight_col=weight_col)
     else:
         partials = partial_sketches(df, value_col, (), factory)
-    # persist: isEmpty (take(1)) would otherwise run the full sketch build
-    # for partition 0 and treeReduce would recompute everything again
-    blobs = partials.select("state").rdd.map(lambda r: bytes(r[0])).persist()
-    try:
-        def merge_bytes(a: bytes, b: bytes) -> bytes:
-            return fb(a).merge(fb(b)).to_bytes()
-
-        if blobs.isEmpty():
-            return factory()
-        return fb(blobs.treeReduce(merge_bytes, depth=depth))
-    finally:
-        blobs.unpersist()
+    blobs = partials.select("state").rdd.map(lambda r: bytes(r[0]))
+    out = _tree_merge_bytes(blobs, fb, depth)
+    return factory() if out is None else fb(out)
 
 
 def quantile_table(

@@ -103,3 +103,17 @@ def test_distributed_bigint_keys_preserved(spark):
     out = heavy_hitters_grouped(df, "user_id", ["grp"], k=8, phi=0.1).collect()
     items = {r.item: r.count_lo for r in out}
     assert items == {str(base): 5, str(base + 1): 3}
+
+
+def test_weighted_total_is_n(spark):
+    """The gate derives n from sk.total on the weight_col fill path (r7:
+    it replaced a separate SUM job). Pin the contract: total inserted
+    weight == SUM(weights) == row count of the pre-aggregated source."""
+    from puddsketch_spark.spark.agg import sketch_global
+
+    rows = [(i % 7, "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "key long, pad string")
+    counts = df.groupBy("key").count()
+    sk = sketch_global(counts, "key", lambda: MisraGries(k=8),
+                       MisraGries.from_bytes, weight_col="count")
+    assert sk.total == 100
