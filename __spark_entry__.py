@@ -501,14 +501,17 @@ FROM probes
 
 
 def _udds_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from puddsketch_spark.core import UDDSketch
-    from puddsketch_spark.spark.agg import quantile_table, sketch_grouped_jvm
+    from puddsketch_spark.spark.agg import udds_quantile_table_jvm
 
     li = _t(spark, sf_dir, "lineitem")
-    merged = sketch_grouped_jvm(li, "l_extendedprice", ["l_returnflag"], _A, 0)
-    qt = quantile_table(merged, ["l_returnflag"], _QS, UDDSketch.from_bytes)
-    return qt.join(merged.select("l_returnflag", F.col("n")), "l_returnflag").select(
-        "l_returnflag", "q", "est", "n"
+    # fused JVM path: Tungsten bucket histogram -> ONE applyInPandas stage
+    # assembling the sketch AND finalizing quantiles (+ n). The previous
+    # form paid two Python stages (state assembly, then a quantile UDF)
+    # plus a join of the state table back to its own quantile table for n
+    # (r7; bit-parity with the two-stage path pinned in
+    # tests/test_spark_agg.py::test_fused_jvm_quantile_table_bit_parity)
+    return udds_quantile_table_jvm(
+        li, "l_extendedprice", ["l_returnflag"], _QS, _A, 0
     )
 
 
@@ -1175,19 +1178,15 @@ GROUP BY n_name
 
 def _udds_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-column grouped UDDSketch (multi-key JVM fill path)."""
-    from puddsketch_spark.core import UDDSketch
-    from puddsketch_spark.spark.agg import quantile_table, sketch_grouped_jvm
+    from puddsketch_spark.spark.agg import udds_quantile_table_jvm
 
     li = _t(spark, sf_dir, "lineitem")
-    merged = sketch_grouped_jvm(
-        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], _A, 0
+    # fused JVM path — one Python stage instead of two + a join-back
+    # (see _udds_by_flag)
+    return udds_quantile_table_jvm(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], (0.5, 0.99),
+        _A, 0
     )
-    qt = quantile_table(merged, ["l_returnflag", "l_linestatus"], (0.5, 0.99),
-                        UDDSketch.from_bytes)
-    return qt.join(
-        merged.select("l_returnflag", "l_linestatus", "n"),
-        ["l_returnflag", "l_linestatus"],
-    ).select("l_returnflag", "l_linestatus", "q", "est", "n")
 
 
 _UDDS2_SQL = f"""
@@ -2340,10 +2339,13 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window; DuckDB replays the identical closed form."""
     from puddsketch_spark.ops.text import top_terms_tfidf
 
-    # single-split scan: spread the tokenize+explode across cores (§2.5)
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
-    out = top_terms_tfidf(d, k=3)
+    # single-split scan: spread the tokenize+explode across cores (§2.5);
+    # the doc count for the idf literal comes from the RAW parquet scan
+    # (column-pruned count), not the repartitioned frame — counting that
+    # would shuffle every document body just to count rows (r7)
+    raw = _t(spark, sf_dir, "documents")
+    d = raw.repartition(spark.sparkContext.defaultParallelism)
+    out = top_terms_tfidf(d, k=3, n_docs=raw.count())
     return out.select(
         "doc_id", "rnk", "term", "tf", "df", F.round("weight", 6).alias("weight")
     )

@@ -729,9 +729,11 @@ def embedding_near_dups(
                 F.array(*[band_sig_catalyst(b) for b in range(num_bands)])
             ).alias("band", "sig"),
         )
-    # materialize the banded rows once: both self-join sides reuse the cache
-    # instead of re-running the signature stage
-    tagged = tagged.persist()
+    # hash-partition the banded rows on the join key ONCE and cache them:
+    # both self-join sides read the same co-partitioned cache and the join
+    # plans with zero exchanges (same mechanism as lsh_candidate_pairs —
+    # the unpartitioned cache still shuffled the banded table twice)
+    tagged = tagged.repartition("band", "sig").persist()
     a = tagged.select(F.col(id_col).alias("a"), "band", "sig")
     b = tagged.select(F.col(id_col).alias("b"), "band", "sig")
     pairs = (

@@ -241,6 +241,7 @@ def top_terms_tfidf(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_df: int = 1,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed tf-idf:
     DataFrame[id_col, term, tf, df, weight, rnk].
@@ -255,7 +256,11 @@ def top_terms_tfidf(
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    # ``n_docs`` only feeds the idf literal; callers that hold a cheaper
+    # count source (e.g. the pre-repartition parquet scan — counting df
+    # itself would pay the full text shuffle, r7) pass it in
+    if n_docs is None:
+        n_docs = df.count()
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).where(F.length("term") > 0)

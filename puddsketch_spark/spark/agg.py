@@ -390,6 +390,15 @@ def rollup_grouping_sets(
     if missing:
         raise ValueError(f"states table lacks grouping columns {missing}")
     dtypes = {f.name: f.dataType for f in states.schema.fields}
+    # ONE merge stage for every set (r7): project the state table once per
+    # set — keys kept for the set's columns, NULL-padded otherwise, plus
+    # the set's grouping_id — union the projections, and merge with a
+    # single groupBy(all_cols + grouping_id).applyInPandas. grouping_id
+    # separates the sets, so cells are merged over exactly the same state
+    # rows as the old one-merge-per-set form (bit-identical for the
+    # exact-merge kernels; same bounds otherwise), while N sets cost one
+    # shuffle + one Python stage instead of N of each — the per-stage
+    # overhead was most of this operator's wall time, the blobs being KB.
     parts = []
     for s in sets:
         gid = sum(
@@ -397,27 +406,22 @@ def rollup_grouping_sets(
             for i, c in enumerate(all_cols)
             if c not in s
         )
-        if s:
-            m = merge_grouped(states, s, from_bytes)
-        else:
-            # global cell: constant key -> ONE merge group, key dropped
-            m = merge_grouped(
-                states.withColumn("_all", F.lit(1)), ["_all"], from_bytes
-            ).drop("_all")
         parts.append(
-            m.select(
+            states.select(
                 *[
                     F.col(c) if c in s else F.lit(None).cast(dtypes[c]).alias(c)
                     for c in all_cols
                 ],
                 F.lit(gid).cast("int").alias("grouping_id"),
-                "state", "n", "buckets", "collapses",
+                "state",
             )
         )
-    out = parts[0]
+    tagged = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        tagged = tagged.unionByName(p)
+    return merge_grouped(
+        tagged, all_cols + ["grouping_id"], from_bytes
+    ).select(*all_cols, "grouping_id", "state", "n", "buckets", "collapses")
 
 
 def rollup_cube(

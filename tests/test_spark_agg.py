@@ -775,3 +775,34 @@ def test_grouping_sets_guards_and_one_scan_plan(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "Scan ExistingRDD" not in plan or "InMemoryTableScan" in plan
     states.unpersist()
+
+
+def test_fused_jvm_quantile_table_bit_parity(spark):
+    """udds_quantile_table_jvm (one fused Python stage) must reproduce
+    sketch_grouped_jvm + quantile_table(extra_cols=['n']) bit-for-bit —
+    the r7 gate queries ride the fused path. Covers m=0 and a collapsing
+    m=8 bound, with zero/negative/NaN/NULL values in the mix."""
+    from puddsketch_spark.spark.agg import (
+        quantile_table,
+        sketch_grouped_jvm,
+        udds_quantile_table_jvm,
+    )
+
+    rows = []
+    for i in range(2000):
+        rows.append(("g%d" % (i % 3), float(i % 97) * 1.37 - 5.0))
+    rows += [("g0", 0.0), ("g1", float("nan")), ("g2", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    qs = [0.5, 0.9, 0.99]
+    for m in (0, 8):
+        fused = {
+            (r.grp, r.q): (r.est, r.n)
+            for r in udds_quantile_table_jvm(df, "v", ["grp"], qs, 0.01, m).collect()
+        }
+        merged = sketch_grouped_jvm(df, "v", ["grp"], 0.01, m)
+        two_stage = {
+            (r.grp, r.q): (r.est, r.n)
+            for r in quantile_table(merged, ["grp"], qs, UDDSketch.from_bytes,
+                                    extra_cols=["n"]).collect()
+        }
+        assert fused == two_stage, m
