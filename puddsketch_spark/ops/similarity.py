@@ -254,8 +254,10 @@ def semantic_dedup(
     (float64 throughout; BLAS-vs-sequential summation differs ~1e-15, far
     inside any sane threshold margin). Every drop decision is made from
     one materialization, so a nondeterministic lineage (sample/rand/
-    re-read) cannot disagree with itself mid-scan; only ``id_col`` must be
-    stable across evaluations, the same contract the ivf engine carries.
+    re-read) cannot disagree with itself mid-scan; ``id_col`` must be
+    stable across evaluations AND unique/non-NULL (the survivor anti-join
+    removes every row carrying a dropped id — duplicate ids would take
+    all their copies with them), the same contract the ivf engine carries.
     O(n^2) flops but REFUSED above ``max_exact`` rows — an all-pairs pass
     at corpus scale is a non-starter, which is what the ivf engine is for
     (the bounded collect-and-broadcast is the same recipe kmeans_centroids
@@ -304,10 +306,12 @@ def semantic_dedup(
         dropped_ids = ids[dropped_mask].tolist()
         if not dropped_ids:
             return df
-        id_field = df.schema[id_col]
+        # StructType, not a DDL string: a column name needing backticks
+        # would break the parsed form (ADVICE r6)
+        from pyspark.sql.types import StructType as _STy
+
         dropped = df.sparkSession.createDataFrame(
-            [(i,) for i in dropped_ids],
-            schema=f"{id_col} {id_field.dataType.simpleString()}",
+            [(i,) for i in dropped_ids], schema=_STy([df.schema[id_col]])
         )
         return df.join(F.broadcast(dropped), [id_col], "left_anti")
     else:

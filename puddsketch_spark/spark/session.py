@@ -33,6 +33,25 @@ def get_spark(
     if pkg_root not in parts:
         os.environ["PYTHONPATH"] = os.pathsep.join(
             [pkg_root] + [p for p in parts if p])
+    # the export above is captured when the FIRST JVM in this process
+    # launches; with an already-active SparkContext (getOrCreate reuse)
+    # workers keep their old env, so warn instead of failing later inside
+    # a pandas UDF with ModuleNotFoundError (ADVICE r6). executorEnv
+    # covers cluster-mode executors launched after this point.
+    active = SparkSession.getActiveSession()
+    if active is not None and pkg_root not in (
+        active.sparkContext.environment.get("PYTHONPATH", "")
+    ):
+        import warnings
+
+        warnings.warn(
+            "get_spark: a SparkContext is already active; PYTHONPATH "
+            f"({pkg_root}) cannot reach its existing Python workers — "
+            "pandas UDFs may raise ModuleNotFoundError. Start the session "
+            "via get_spark first, or ship the package with --py-files.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -65,6 +84,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.ui.enabled", "false")
+        # belt-and-braces with the PYTHONPATH export above: executorEnv is
+        # honored for executors launched on a real cluster, where the
+        # driver-process env export has no effect (ADVICE r6)
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -90,6 +90,25 @@ from ..core import (
 __all__ = ["register_sql_functions"]
 
 
+def _restore_int_domain(arr: np.ndarray) -> np.ndarray:
+    """Undo pandas' NULL coercion for hash/exact-key kernels: an int64
+    Spark column that contains any NULL reaches a pandas UDF as float64
+    (NaN-backed), so without this the group's keys would hash via their
+    FLOAT bit pattern while null-free groups — and every Python-API fill,
+    which preserves int via agg.partial_sketches — hash via INT bits:
+    merges double-count, probes false-negative (ADVICE r6, high). After
+    dropna, a float array that round-trips losslessly through int64 is
+    restored to int64, re-joining the one hash domain. Genuinely
+    fractional, non-finite, or out-of-int64-range values stay float64."""
+    if arr.dtype.kind != "f" or arr.size == 0:
+        return arr
+    with np.errstate(invalid="ignore"):
+        as_int = arr.astype(np.int64)
+        if np.array_equal(as_int.astype(arr.dtype), arr):
+            return as_int
+    return arr
+
+
 def _fill_udf(factory: Callable[[], object], numeric: bool):
     """Grouped-agg UDAF: one group's raw values -> serialized state."""
 
@@ -99,7 +118,7 @@ def _fill_udf(factory: Callable[[], object], numeric: bool):
         v = v.dropna()
         if len(v):
             sk.update(v.to_numpy(dtype=np.float64) if numeric
-                      else v.to_numpy())
+                      else _restore_int_domain(v.to_numpy()))
         return sk.to_bytes()
 
     return fill
@@ -143,9 +162,23 @@ def _state_arg_scalar_udf(from_bytes, extract, ret_type):
 
     @F.pandas_udf(ret_type)
     def fn(states: pd.Series, args: pd.Series) -> pd.Series:
+        # same NULL-coercion repair as the fills: an integer key argument
+        # batch with any NULL arrives float64; probes must hash the same
+        # domain the fill used. Quantile/rank args are unaffected (their
+        # extractors call float() explicitly).
+        a_arr = args.to_numpy()
+        if a_arr.dtype.kind == "f":
+            mask = ~np.isnan(a_arr)
+            fixed = _restore_int_domain(a_arr[mask])
+            vals: list = list(a_arr)
+            for i, j in enumerate(np.flatnonzero(mask)):
+                vals[j] = fixed[i]
+            a_it = vals
+        else:
+            a_it = list(a_arr)
         return pd.Series(
             [None if blob is None else extract(from_bytes(bytes(blob)), a)
-             for blob, a in zip(states, args)])
+             for blob, a in zip(states, a_it)])
 
     return fn
 

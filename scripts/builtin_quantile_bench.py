@@ -149,12 +149,15 @@ def main(argv=None) -> int:
 
     ex = exact_disc()
     realized_alpha = {"max": udds_realized_alpha()}
-    # regroup correctness: role-level sketch merge answers match a direct
-    # role-level fill bucket-for-bucket guarantees aside; here just check
-    # both regroup arms agree within the combined bounds
+    # regroup cross-check: the two arms carry DIFFERENT error contracts
+    # (relative-value vs rank), so at p999 on a heavy tail their combined
+    # window can legitimately approach 5% — report the divergence in the
+    # JSON instead of asserting after all timed work completed (ADVICE r6:
+    # the hard assert could flake the whole bench on a tail quantile)
     rg_s, rg_b = results["udds_regroup"], results["percentile_approx_regroup"]
-    assert all(abs(rg_s[k] - rg_b[k]) / max(abs(rg_b[k]), 1e-9) < 0.05
-               for k in rg_s), "regroup arms diverged beyond combined bounds"
+    regroup_divergence = max(
+        abs(rg_s[k] - rg_b[k]) / max(abs(rg_b[k]), 1e-9) for k in rg_s
+    )
 
     errs = {}
     for name in ("udds_jvm", "percentile_approx"):
@@ -176,6 +179,7 @@ def main(argv=None) -> int:
                        for k, v in times.items()},
         "turns_per_sec": {k: round(n / m, 1) for k, m in med.items()},
         "value_err_vs_exact": errs,
+        "regroup_max_divergence": round(regroup_divergence, 5),
         "udds_realized_alpha": round(realized_alpha["max"], 5),
         "udds_within_bound": errs["udds_jvm"]["max_rel_err"]
         <= realized_alpha["max"] + 1e-12,

@@ -426,3 +426,46 @@ def test_extractor_null_state_passthrough(spark, sqlfns):
     row = spark.sql(
         "SELECT udds_count(state) AS n FROM null_state_row").collect()[0]
     assert row.n is None
+
+
+def test_int_keys_with_nulls_share_hash_domain(spark, sqlfns):
+    """ADVICE r6 (high): an int64 key column containing any NULL reaches
+    the grouped-agg UDAF as float64, so hash-family fills hashed those
+    groups via float bits — bloom_contains returned FALSE for inserted
+    keys, and null-bearing groups' states double-counted against
+    null-free / Python-API states on merge. Pin the repaired contract."""
+    rows = [(1, "a"), (2, "a"), (3, "a"), (None, "a"),
+            (1, "b"), (2, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    df.createOrReplaceTempView("nullkeys")
+
+    # 1. probe finds inserted keys in the null-bearing group
+    got = spark.sql("""
+        SELECT grp, bloom_contains(bloom_sketch(k), 2L) AS hit
+        FROM nullkeys GROUP BY grp ORDER BY grp
+    """).collect()
+    assert [r.hit for r in got] == [True, True]
+
+    # 2. SQL states from null-bearing and null-free groups merge into the
+    #    Python-API hash domain: theta distinct over both groups == 3
+    est = spark.sql("""
+        SELECT theta_estimate(theta_merge(s)) AS est FROM (
+          SELECT theta_sketch(k) AS s FROM nullkeys GROUP BY grp
+        )
+    """).first().est
+    assert est == pytest.approx(3.0)
+
+    # 3. cross-surface: SQL estimate over the null-bearing slice equals a
+    #    kernel fill of the same keys as INT64 exactly (same hash domain)
+    sql_est = spark.sql("""
+        SELECT hll_estimate(hll_sketch(k)) AS e FROM nullkeys WHERE grp='a'
+    """).first().e
+    kernel_est = HLLSketch(p=14).update(np.array([1, 2, 3], dtype=np.int64)).estimate()
+    assert float(sql_est) == float(kernel_est)
+
+    # 4. mg keys survive as ints (not '2.0' strings) through serde
+    hh = spark.sql("""
+        SELECT mg_heavy_hitters_json(mg_sketch(k), 0.1) AS j
+        FROM nullkeys WHERE grp='a'
+    """).first().j
+    assert '"2"' in hh and "2.0" not in hh
