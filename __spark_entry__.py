@@ -3476,67 +3476,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks a positional
     # prefix (~50) of this registry, so the prefix rotates every round to
     # keep every entry's most recent driver-green CORRECTNESS row <= 1
-    # round old (VERDICT r5 item 2). Round-6 order: first the 23 entries
-    # whose latest gate row is r4 (rotated out of r5's positional prefix;
-    # all green in CORRECTNESS_r04 and the local all-entries parity suite),
-    # then the 3 queries whose code changed THIS round
-    # (range_partition_balance gained the serde-restore check,
-    # semantic_dedup_survivors rides the reworked exact engine,
-    # bloom_join_lineitem_parts the 1.2x Bloom sizing headroom), then the
-    # queries NEW this round (udds_grouping_sets, sql_surface_quantiles,
-    # rolling_quantile_window_sql), then r5-green entries; every entry
-    # past the prefix is r5-green and untouched this round.
+    # round old (VERDICT r5 item 2). Round-7 order (VERDICT r6 item 3):
+    # first the 26 entries whose latest gate row is r5 (rotated out of
+    # r6's positional prefix, untouched order), then the 24 entries whose
+    # code path changed in this optimization round (shared fill machinery:
+    # treeAggregate global merge, fused quantile finalize, fused
+    # grouping-set merge, dedup/text/theta/moments/hh restructures, the
+    # sqlfns int-domain fix), then the 26 r6-gated entries with zero code
+    # delta this round; all 76 are green in the local parity suite.
     return {
-        "udds_by_flag_status": _udds_by_flag_status,
-        "dedup_exact_documents": _dedup_exact_documents,
-        "normalized_dedup_docs": _normalized_dedup_docs,
-        "doc_token_stats": _doc_token_stats,
-        "hll_users_by_type": _hll_users_by_type,
-        "cms_event_type_freq": _cms_event_type_freq,
-        "bloom_custkeys": _bloom_custkeys,
-        "heavy_hitters_event_types": _heavy_hitters_event_types,
-        "heavy_hitters_custkeys": _heavy_hitters_custkeys,
-        "kll_price_rank": _kll_price_rank,
-        "tdigest_price_rank": _tdigest_price_rank,
-        "req_price_rank": _req_price_rank,
-        "req_price_rank_lra": _req_price_rank_lra,
-        "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
-        "dd_quantiles_by_type": _dd_quantiles_by_type,
-        "ddog_grouped_window_check": _ddog_grouped_window_check,
-        "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
-        "ngram_jaccard_docs": _ngram_jaccard_docs,
-        "decontam_docs": _decontam_docs,
-        "asof_error_last_click": _asof_error_last_click,
-        "events_sessionization": _events_sessionization,
-        "boilerplate_line_dedup": _boilerplate_line_dedup,
-        "moments_price_by_flag": _moments_price_by_flag,
-        "range_partition_balance": _range_partition_balance,
-        "semantic_dedup_survivors": _semantic_dedup_survivors,
-        "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
-        "udds_grouping_sets": _udds_grouping_sets,
-        "sql_surface_quantiles": _sql_surface_quantiles,
-        "rolling_quantile_window_sql": _rolling_quantile_window_sql,
-        "source_quota_cap": _source_quota_cap,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "range_join_value_bands": _range_join_value_bands,
-        "profile_events_table": _profile_events_table,
-        "cosine_topk_embeddings": _cosine_topk_embeddings,
-        "doc_quality_stats": _doc_quality_stats,
-        "lang_id_agreement": _lang_id_agreement,
-        "doc_repetition_stats": _doc_repetition_stats,
-        "minhash_selfdup_recall": _minhash_selfdup_recall,
-        "simhash_selfdup_recall": _simhash_selfdup_recall,
-        "dedup_pipeline_survivors": _dedup_pipeline_survivors,
-        "ivf_recall_check": _ivf_recall_check,
-        "multimodal_pipeline_stats": _multimodal_pipeline_stats,
-        "curation_pipeline_report": _curation_pipeline_report,
-        "stratified_sample_docs": _stratified_sample_docs,
-        "dataset_mix_report": _dataset_mix_report,
-        "pack_sequences_report": _pack_sequences_report,
-        "winnowing_dup_detection": _winnowing_dup_detection,
-        "pii_redaction_stats": _pii_redaction_stats,
-        "incremental_dedup_check": _incremental_dedup_check,
-        "udds_quantile_global": _udds_global,
+        # -- 1-26: last driver gate row r5 --------------------------------
         "udds_quantile_by_flag": _udds_by_flag,
         "udds_quantile_protocol99": _udds_quantile_protocol99,
         "udds_rank_cdf": _udds_rank_cdf,
@@ -3563,6 +3512,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_part_types": _set_ops_part_types,
         "theta_custkey_overlap": _theta_custkey_overlap,
         "q5_nation_volume": _q5_nation_volume,
+        # -- 27-50: code path touched in r7 -------------------------------
+        "udds_by_flag_status": _udds_by_flag_status,
+        "udds_quantile_global": _udds_global,
+        "heavy_hitters_event_types": _heavy_hitters_event_types,
+        "heavy_hitters_custkeys": _heavy_hitters_custkeys,
+        "kll_price_rank": _kll_price_rank,
+        "tdigest_price_rank": _tdigest_price_rank,
+        "req_price_rank": _req_price_rank,
+        "req_price_rank_lra": _req_price_rank_lra,
+        "bloom_custkeys": _bloom_custkeys,
+        "decontam_docs": _decontam_docs,
+        "boilerplate_line_dedup": _boilerplate_line_dedup,
+        "moments_price_by_flag": _moments_price_by_flag,
+        "range_partition_balance": _range_partition_balance,
+        "semantic_dedup_survivors": _semantic_dedup_survivors,
+        "udds_grouping_sets": _udds_grouping_sets,
+        "sql_surface_quantiles": _sql_surface_quantiles,
+        "rolling_quantile_window_sql": _rolling_quantile_window_sql,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "minhash_selfdup_recall": _minhash_selfdup_recall,
+        "simhash_selfdup_recall": _simhash_selfdup_recall,
+        "dedup_pipeline_survivors": _dedup_pipeline_survivors,
+        "curation_pipeline_report": _curation_pipeline_report,
+        "pii_redaction_stats": _pii_redaction_stats,
+        "incremental_dedup_check": _incremental_dedup_check,
+        # -- 51-76: r6-gated, zero code delta in r7 -----------------------
+        "dedup_exact_documents": _dedup_exact_documents,
+        "normalized_dedup_docs": _normalized_dedup_docs,
+        "doc_token_stats": _doc_token_stats,
+        "hll_users_by_type": _hll_users_by_type,
+        "cms_event_type_freq": _cms_event_type_freq,
+        "ddsketch_signed_quantiles": _ddsketch_signed_quantiles,
+        "dd_quantiles_by_type": _dd_quantiles_by_type,
+        "ddog_grouped_window_check": _ddog_grouped_window_check,
+        "ddsketch_ddog_quantiles": _ddsketch_ddog_quantiles,
+        "ngram_jaccard_docs": _ngram_jaccard_docs,
+        "asof_error_last_click": _asof_error_last_click,
+        "events_sessionization": _events_sessionization,
+        "bloom_join_lineitem_parts": _bloom_join_lineitem_parts,
+        "source_quota_cap": _source_quota_cap,
+        "range_join_value_bands": _range_join_value_bands,
+        "profile_events_table": _profile_events_table,
+        "cosine_topk_embeddings": _cosine_topk_embeddings,
+        "doc_quality_stats": _doc_quality_stats,
+        "lang_id_agreement": _lang_id_agreement,
+        "doc_repetition_stats": _doc_repetition_stats,
+        "ivf_recall_check": _ivf_recall_check,
+        "multimodal_pipeline_stats": _multimodal_pipeline_stats,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "dataset_mix_report": _dataset_mix_report,
+        "pack_sequences_report": _pack_sequences_report,
+        "winnowing_dup_detection": _winnowing_dup_detection,
     }
 
 
