@@ -32,10 +32,18 @@ and materializes them in memory (pyspark.sql.functions.pandas_udf docs).
 ``{name}_sketch`` over a raw 10^12-row table is therefore the
 convenience path only; the two-stage fills (``sketch_grouped_jvm`` /
 ``sketch_grouped`` with map-side partials, spark/agg.py) remain the
-100 TB fill path. The intended big-data SQL idiom is: fill states with
-the two-stage API (or a previous ``{name}_sketch`` at finer grain),
-save the state table, then do all SQL-side regrouping with
-``{name}_merge`` + extractors — blobs only, never raw rows.
+100 TB fill path. Measured (r7, 2M turns x 12 groups, local[32],
+alternating arms, median of 5): SQL grouped-agg fill 0.68 s vs
+two-stage Arrow 1.05 s vs fused JVM ``udds_quantile_table_jvm`` 0.61 s —
+locally the raw-row shuffle is ~60 MB and the UDAF's single Python
+stage WINS against the two-stage path's two, so the warning is not
+about local wall time: it is about shuffle bytes. The grouped-agg fill
+ships n raw rows across the exchange where the two-stage path ships one
+KB-scale partial per (group x partition); at cluster scale that ratio,
+not per-stage overhead, is the cost. The intended big-data SQL idiom
+is: fill states with the two-stage API (or a previous ``{name}_sketch``
+at finer grain), save the state table, then do all SQL-side regrouping
+with ``{name}_merge`` + extractors — blobs only, never raw rows.
 
 Streaming note: the extractors work over STREAMED state tables
 (downstream of the sink, or on a state table a streaming job wrote),
